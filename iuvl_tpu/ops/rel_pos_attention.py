@@ -1,0 +1,96 @@
+"""Windowed / global attention with decomposed relative-position bias.
+
+This is the hot op of the SAM ViT backbone. Semantics match the reference
+(/root/reference/sam/modeling/image_encoder.py:239-376): scores are
+``(q * scale) @ k^T`` plus a decomposed bias built from per-axis relative
+position tables indexed by *unscaled* q, softmaxed in fp32.
+
+Two implementations share one interface:
+- ``impl='xla'``   : pure jnp — the correctness oracle, and already fast on
+                     the MXU because everything is batched matmuls.
+- ``impl='pallas'``: fused Pallas kernel (ops/pallas/sam_attention.py) that
+                     keeps the (N x N) score matrix in VMEM.
+
+All shapes are static; the rel-pos gather tables are computed at trace time
+with static indices so XLA constant-folds them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rel_pos_table(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """Select relative-position embeddings for a (q_size, k_size) grid pair.
+
+    Reference: sam/modeling/image_encoder.py:307-337 (get_rel_pos). The
+    linear-interpolation resize branch is applied when the stored table
+    length does not match 2*max(q,k)-1.
+    Returns (q_size, k_size, head_dim).
+    """
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear"
+        )
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel_coords = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return jnp.take(rel_pos, rel_coords.astype(np.int32), axis=0)
+
+
+def decomposed_rel_pos_bias(
+    q: jax.Array, rel_pos_h: jax.Array, rel_pos_w: jax.Array, hw: tuple[int, int]
+) -> jax.Array:
+    """Decomposed rel-pos bias (MViTv2 style).
+
+    q: (B, heads, H*W, head_dim) *unscaled* queries.
+    Returns bias (B, heads, H*W, H*W).
+    Reference: sam/modeling/image_encoder.py:340-376.
+    """
+    h, w = hw
+    Rh = rel_pos_table(h, h, rel_pos_h)  # (h, h, d)
+    Rw = rel_pos_table(w, w, rel_pos_w)  # (w, w, d)
+    b, heads, _, d = q.shape
+    r_q = q.reshape(b, heads, h, w, d)
+    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh)
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw)
+    bias = rel_h[..., :, None] + rel_w[..., None, :]  # (b, n, h, w, h, w)
+    return bias.reshape(b, heads, h * w, h * w)
+
+
+def rel_pos_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_pos_h: jax.Array,
+    rel_pos_w: jax.Array,
+    hw: tuple[int, int],
+    impl: str = "xla",
+) -> jax.Array:
+    """Attention with decomposed rel-pos bias over a (h, w) token grid.
+
+    q, k, v: (B, heads, N, head_dim) with N == h*w. Returns (B, heads, N, d).
+    """
+    if impl == "pallas":
+        from .pallas.sam_attention import rel_pos_attention_pallas
+
+        return rel_pos_attention_pallas(q, k, v, rel_pos_h, rel_pos_w, hw)
+    return _rel_pos_attention_xla(q, k, v, rel_pos_h, rel_pos_w, hw)
+
+
+def _rel_pos_attention_xla(q, k, v, rel_pos_h, rel_pos_w, hw):
+    d = q.shape[-1]
+    scale = d ** -0.5
+    # fp32 accumulation for the score matrix regardless of input dtype.
+    attn = jnp.einsum(
+        "bnqd,bnkd->bnqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    attn = attn + decomposed_rel_pos_bias(
+        q.astype(jnp.float32), rel_pos_h.astype(jnp.float32),
+        rel_pos_w.astype(jnp.float32), hw,
+    )
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnqk,bnkd->bnqd", attn, v)
