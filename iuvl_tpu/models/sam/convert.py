@@ -8,9 +8,9 @@ state_dict as a mapping of numpy arrays or torch tensors).
 Layout conversions:
 - Linear:          torch (out, in)            -> kernel (in, out)
 - Conv2d:          torch (out, in, kh, kw)    -> kernel (kh, kw, in, out)
-- ConvTranspose2d: torch (in, out, kh, kw)    -> kernel (kh, kw, in, out)
-  (flax ConvTranspose applies the kernel unflipped via lax.conv_transpose,
-  matching torch's ConvTranspose2d correlation semantics.)
+- ConvTranspose2d: torch (in, out, kh, kw)    -> kernel (kh, kw, out, in)
+  (our modules use flax ConvTranspose(transpose_kernel=True), whose
+  gradient-transpose semantics match torch's ConvTranspose2d.)
 """
 
 from __future__ import annotations
@@ -41,7 +41,9 @@ def _conv(sd, prefix):
 
 
 def _deconv(sd, prefix):
-    out = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 0, 1)}
+    # flax ConvTranspose(transpose_kernel=True) expects (kh, kw, out, in),
+    # matching torch ConvTranspose2d's gradient-transpose semantics.
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
     if f"{prefix}.bias" in sd:
         out["bias"] = _np(sd[f"{prefix}.bias"])
     return out

@@ -181,15 +181,15 @@ class SimpleFPN(nn.Module):
         gelu = lambda t: nn.gelu(t, approximate=False)
 
         d4c = max(self.out_dims[0] * 2, self.in_dim // 2)
-        y = nn.ConvTranspose(d4c, (2, 2), strides=(2, 2), dtype=self.dtype, name="down4_deconv1")(x)
+        y = nn.ConvTranspose(d4c, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=self.dtype, name="down4_deconv1")(x)
         y = gelu(gn("down4_gn1")(y))
-        y = nn.ConvTranspose(d4c // 2, (2, 2), strides=(2, 2), dtype=self.dtype, name="down4_deconv2")(y)
+        y = nn.ConvTranspose(d4c // 2, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=self.dtype, name="down4_deconv2")(y)
         y = gn("down4_gn2")(y)
         y = nn.Conv(self.out_dims[0], (1, 1), dtype=self.dtype, name="down4_conv")(y)
         res2 = gelu(gn("down4_gn3")(y))
 
         d8c = max(self.out_dims[1], self.in_dim // 2)
-        y = nn.ConvTranspose(d8c, (2, 2), strides=(2, 2), dtype=self.dtype, name="down8_deconv")(x)
+        y = nn.ConvTranspose(d8c, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=self.dtype, name="down8_deconv")(x)
         y = gn("down8_gn1")(y)
         y = nn.Conv(self.out_dims[1], (1, 1), dtype=self.dtype, name="down8_conv")(y)
         res3 = gelu(gn("down8_gn2")(y))

@@ -166,6 +166,8 @@ class MaskDecoder(nn.Module):
     num_multimask_outputs: int = 3
     iou_head_depth: int = 3
     iou_head_hidden_dim: int = 256
+    transformer_mlp_dim: int = 2048
+    transformer_num_heads: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -203,7 +205,11 @@ class MaskDecoder(nn.Module):
             image_pe = jnp.broadcast_to(image_pe[None], src.shape)
 
         hs, keys = TwoWayTransformer(
-            embedding_dim=self.transformer_dim, dtype=self.dtype, name="transformer"
+            embedding_dim=self.transformer_dim,
+            mlp_dim=self.transformer_mlp_dim,
+            num_heads=self.transformer_num_heads,
+            dtype=self.dtype,
+            name="transformer",
         )(src.astype(self.dtype), image_pe, tokens)
         iou_token_out = hs[:, 0]
         mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens]
@@ -212,12 +218,14 @@ class MaskDecoder(nn.Module):
         src_out = keys.reshape(bh, hgrid, wgrid, c)
         # Upscaling stack (reference mask_decoder.py:53-59).
         y = nn.ConvTranspose(
-            self.transformer_dim // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
+            self.transformer_dim // 4, (2, 2), strides=(2, 2),
+            transpose_kernel=True, dtype=self.dtype,
             name="upscale_deconv1",
         )(src_out)
         y = nn.gelu(LayerNorm2d(name="upscale_ln")(y), approximate=False)
         y = nn.ConvTranspose(
-            self.transformer_dim // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
+            self.transformer_dim // 8, (2, 2), strides=(2, 2),
+            transpose_kernel=True, dtype=self.dtype,
             name="upscale_deconv2",
         )(y)
         upscaled = nn.gelu(y, approximate=False)  # (B, 4H, 4W, C/8)
