@@ -1,0 +1,98 @@
+"""Multi-scale deformable attention — the TPU-native replacement for the
+reference's CUDA extension (SURVEY.md §2.8).
+
+The reference implements this as an im2col CUDA kernel
+(/root/reference/modeling/vision/encoder/ops/src/cuda/ms_deform_im2col_cuda.cuh)
+with a grid_sample-based PyTorch fallback
+(ops/functions/ms_deform_attn_func.py:52-72). Here the core is expressed as
+batched gathers + weighted reductions that XLA maps to TPU gather/VPU ops:
+per level, a 4-tap bilinear gather at predicted sampling locations
+(grid_sample align_corners=False, zero padding semantics: pixel coordinate
+= loc * size - 0.5), weighted by softmaxed attention weights and summed over
+(levels x points). A Pallas kernel (ops/pallas/msdeform.py) provides the
+fused fast path; this XLA version is the correctness oracle, mirroring the
+reference's fallback-as-oracle test strategy (ops/test.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def ms_deform_attn_core(
+    value: jax.Array,  # (B, S, heads, d) — levels concatenated along S
+    spatial_shapes: Sequence[tuple[int, int]],  # static [(H, W), ...]
+    sampling_locations: jax.Array,  # (B, Lq, heads, L, P, 2) in [0, 1]
+    attention_weights: jax.Array,  # (B, Lq, heads, L, P), softmaxed
+    impl: str = "xla",
+) -> jax.Array:
+    """Returns (B, Lq, heads * d)."""
+    if impl == "pallas":
+        from .pallas.msdeform import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    return _ms_deform_attn_xla(
+        value, spatial_shapes, sampling_locations, attention_weights
+    )
+
+
+def _bilinear_gather(v_flat, h, w, x, y):
+    """4-tap bilinear sample with zero padding.
+
+    v_flat: (B, heads, HW, d); x, y: (B, heads, Lq, P) pixel coords.
+    Returns (B, heads, Lq, P, d).
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    out = None
+    for dy, dx, wgt in (
+        (0, 0, (1 - fy) * (1 - fx)),
+        (0, 1, (1 - fy) * fx),
+        (1, 0, fy * (1 - fx)),
+        (1, 1, fy * fx),
+    ):
+        xi = x0 + dx
+        yi = y0 + dy
+        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        idx = yi_c * w + xi_c  # (B, heads, Lq, P)
+        b, nh, lq, p = idx.shape
+        flat_idx = idx.reshape(b, nh, lq * p, 1)
+        g = jnp.take_along_axis(v_flat, flat_idx, axis=2)  # (B, nh, Lq*P, d)
+        g = g.reshape(b, nh, lq, p, -1)
+        contrib = g * (wgt * valid.astype(g.dtype))[..., None]
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_weights):
+    b, s, nh, d = value.shape
+    lq = sampling_locations.shape[1]
+    level_sizes = [h * w for h, w in spatial_shapes]
+    assert sum(level_sizes) == s, (spatial_shapes, s)
+
+    # (B, heads, S, d) once, then per-level static slices.
+    v = value.transpose(0, 2, 1, 3)
+    out = jnp.zeros((b, nh, lq, d), dtype=value.dtype)
+    start = 0
+    for lvl, (hl, wl) in enumerate(spatial_shapes):
+        v_l = jax.lax.slice_in_dim(v, start, start + hl * wl, axis=2)
+        start += hl * wl
+        loc = sampling_locations[:, :, :, lvl]  # (B, Lq, nh, P, 2)
+        # grid_sample align_corners=False: pixel = loc * size - 0.5
+        x = loc[..., 0].transpose(0, 2, 1, 3) * wl - 0.5  # (B, nh, Lq, P)
+        y = loc[..., 1].transpose(0, 2, 1, 3) * hl - 0.5
+        sampled = _bilinear_gather(v_l, hl, wl, x, y)  # (B, nh, Lq, P, d)
+        w_l = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # (B, nh, Lq, P)
+        out = out + (sampled * w_l[..., None]).sum(axis=3)
+
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, nh * d)
