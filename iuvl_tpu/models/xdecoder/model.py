@@ -1,0 +1,322 @@
+"""SysLearner — the unified top model (TPU-native GeneralizedXdecoder).
+
+Parity target: /root/reference/modeling/architectures/xdecoder_model.py.
+Composition: SAM backbone (image encoder + prompt encoder + mask decoder)
+-> SimpleFPN features -> deformable pixel decoder -> 9-layer unified decoder
+with a CLIP-style text encoder; optional LLM projector (512 -> llm_dim,
+reference :80-84).
+
+Task routing (reference forward :250-315) becomes a set of jittable methods,
+each a static compiled program:
+- ``forward_seg``        : training features for the seg criterion
+- ``forward_vlp``        : captioning/retrieval training outputs
+- ``evaluate_seg``       : mask_cls + full-res mask logits (semantic /
+                           panoptic / instance heads post-process these)
+- ``evaluate_grounding`` : text-grounded mask selection (reference :632-689)
+- ``encode_image`` / ``decode_interactive``: the one-encode/many-decode
+  interactive path (reference :691-903 + SURVEY.md §2.9 intended contract)
+
+Host-side panoptic merge and evaluator logic live in iuvl_tpu.inference /
+iuvl_tpu.evaluation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..sam.build import PIXEL_MEAN, PIXEL_STD, SAM_VARIANTS, SamConfig
+from ..sam.image_encoder import ImageEncoderViT
+from ..sam.mask_decoder import MaskDecoder
+from ..sam.prompt_encoder import PromptEncoder
+from .lang_encoder import LanguageEncoder
+from .pixel_decoder import DeformablePixelDecoder
+from .unified_decoder import UnifiedDecoder
+
+
+@dataclasses.dataclass(frozen=True)
+class SysLearnerConfig:
+    sam_size: str = "base"  # base / large / huge (configs SAM_SIZE)
+    img_size: int = 1024
+    syslearner_dim: int = 512  # SYSLEARNER_DIM
+    mask_proposals: int = 100  # MASK_PROPOSAL
+    contxt_len: int = 77
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    vocab_size: int = 49408
+    pixel_decoder_layers: int = 6
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    llm_dim: int = 0  # 0 disables the LLM projector; 4096 for Vicuna-7B
+    dtype: str = "float32"
+    attn_impl: str = "xla"  # SAM windowed attention implementation
+    msdeform_impl: str = "xla"
+
+    @property
+    def num_queries(self) -> int:
+        return self.mask_proposals + 1
+
+    def sam_config(self) -> SamConfig:
+        return SamConfig(
+            **SAM_VARIANTS[self.sam_size],
+            img_size=self.img_size,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+        )
+
+
+class SysLearner(nn.Module):
+    cfg: SysLearnerConfig = SysLearnerConfig()
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        sam_cfg = c.sam_config()
+        self.image_encoder = ImageEncoderViT(
+            img_size=sam_cfg.img_size,
+            patch_size=sam_cfg.patch_size,
+            embed_dim=sam_cfg.embed_dim,
+            depth=sam_cfg.depth,
+            num_heads=sam_cfg.num_heads,
+            out_chans=sam_cfg.prompt_embed_dim,
+            window_size=sam_cfg.window_size,
+            global_attn_indexes=tuple(sam_cfg.global_attn_indexes),
+            dtype=dtype,
+            attn_impl=c.attn_impl,
+        )
+        self.prompt_encoder = PromptEncoder(
+            embed_dim=sam_cfg.prompt_embed_dim,
+            image_embedding_size=(sam_cfg.grid, sam_cfg.grid),
+            input_image_size=(sam_cfg.img_size, sam_cfg.img_size),
+            dtype=dtype,
+        )
+        self.mask_decoder = MaskDecoder(
+            transformer_dim=sam_cfg.prompt_embed_dim, dtype=dtype
+        )
+        self.pixel_decoder = DeformablePixelDecoder(
+            conv_dim=c.syslearner_dim,
+            mask_dim=c.syslearner_dim,
+            num_layers=c.pixel_decoder_layers,
+            n_heads=c.nheads,
+            dtype=dtype,
+            impl=c.msdeform_impl,
+        )
+        self.predictor = UnifiedDecoder(
+            hidden_dim=c.syslearner_dim,
+            dim_proj=c.syslearner_dim,
+            num_queries=c.num_queries,
+            contxt_len=c.contxt_len,
+            nheads=c.nheads,
+            dim_feedforward=c.dim_feedforward,
+            mask_dim=c.syslearner_dim,
+            dtype=dtype,
+        )
+        self.lang_encoder = LanguageEncoder(
+            width=c.text_width,
+            proj_dim=c.syslearner_dim,
+            layers=c.text_layers,
+            heads=c.text_heads,
+            context_length=c.contxt_len,
+            vocab_size=c.vocab_size,
+            dtype=dtype,
+        )
+        if c.llm_dim:
+            # Reference xdecoder_model.py:84: img_to_lang Linear 512 -> 4096.
+            self.img_to_lang = nn.Dense(c.llm_dim, dtype=dtype, name="img_to_lang")
+
+    # ------------------------------------------------------------------ #
+    # Preprocessing / backbone
+    # ------------------------------------------------------------------ #
+    def normalize(self, images: jax.Array) -> jax.Array:
+        mean = jnp.asarray(PIXEL_MEAN, jnp.float32)
+        std = jnp.asarray(PIXEL_STD, jnp.float32)
+        return (images.astype(jnp.float32) - mean) / std
+
+    def encode_image(self, images: jax.Array):
+        """Raw RGB (B, H, W, 3) -> (sam_embedding, fpn dict). One heavy pass."""
+        return self.image_encoder(self.normalize(images))
+
+    def encode_text_embeddings(self, input_ids, attention_mask=None, norm=True):
+        """Batched class/prompt text embedding (used to build the class-name
+        embedding cache host-side). Reference vlpencoder.py:74-131."""
+        return self.lang_encoder.forward_language(input_ids, attention_mask, norm=norm)
+
+    def encode_text_tokens(self, input_ids, attention_mask=None, norm=False):
+        return self.lang_encoder.forward_language_token(
+            input_ids, attention_mask, norm=norm
+        )
+
+    def logit_scale(self):
+        return self.lang_encoder.logit_scale
+
+    # ------------------------------------------------------------------ #
+    # Unified head
+    # ------------------------------------------------------------------ #
+    def _head(self, fpn, text_embeddings, task, **kw):
+        mask_features, multi_scale = self.pixel_decoder(fpn)
+        return self.predictor(
+            multi_scale,
+            mask_features,
+            text_embeddings=text_embeddings,
+            logit_scale=self.lang_encoder.logit_scale,
+            task=task,
+            **kw,
+        )
+
+    def forward_seg(
+        self,
+        images: jax.Array,
+        text_embeddings: jax.Array,
+        grounding_tokens: Optional[jax.Array] = None,
+        grounding_valid: Optional[jax.Array] = None,
+    ) -> dict[str, Any]:
+        """Training forward for the seg stream (reference forward_seg:331-390).
+        Returns raw head outputs; slicing into obj/grounding blocks and the
+        criterion live in iuvl_tpu.losses."""
+        _, fpn = self.encode_image(images)
+        task = "seg_grounding" if grounding_tokens is not None else "seg"
+        return self._head(
+            fpn, text_embeddings, task,
+            grounding_tokens=grounding_tokens, grounding_valid=grounding_valid,
+            training=True,
+        )
+
+    def forward_vlp(
+        self, images: jax.Array, caption_tokens: jax.Array
+    ) -> dict[str, Any]:
+        """Captioning/retrieval training stream (reference forward_vlp:392-436).
+        caption_tokens: (B, 77, C) caption token embeddings."""
+        _, fpn = self.encode_image(images)
+        return self._head(fpn, None, "vlp", caption_tokens=caption_tokens,
+                          training=True)
+
+    def evaluate_seg(self, images: jax.Array, text_embeddings: jax.Array):
+        """Eval forward (reference evaluate:480-543): returns
+        (mask_cls (B, Q, K), mask_pred upsampled to input size)."""
+        _, fpn = self.encode_image(images)
+        out = self._head(fpn, text_embeddings, "seg")
+        mask_cls = out["pred_logits"]
+        mask_pred = out["pred_masks"]
+        b, q = mask_pred.shape[:2]
+        mask_pred = jax.image.resize(
+            mask_pred,
+            (b, q, images.shape[1], images.shape[2]),
+            method="bilinear",
+        )
+        return mask_cls, mask_pred
+
+    def evaluate_grounding(
+        self,
+        images: jax.Array,
+        grounding_tokens: jax.Array,  # (B, G, C) token embeddings
+        grounding_valid: jax.Array,  # (B, G)
+        class_emb: jax.Array,  # (B, G_text, C) pooled phrase embeddings
+    ):
+        """Reference evaluate_grounding:632-689: run the grounding head, pick
+        per-phrase the query whose caption embedding best matches the phrase
+        embedding. Returns (B, G_text, H, W) mask logits at input size."""
+        _, fpn = self.encode_image(images)
+        out = self._head(
+            fpn, None, "grounding_eval",
+            grounding_tokens=grounding_tokens, grounding_valid=grounding_valid,
+        )
+        nq = self.cfg.num_queries
+        pred_gmasks = out["pred_masks"][:, nq : 2 * nq - 1]
+        v_emb = out["pred_captions"][:, nq : 2 * nq - 1]
+        v_emb = v_emb / (jnp.linalg.norm(v_emb, axis=-1, keepdims=True) + 1e-7)
+        t_emb = class_emb / (jnp.linalg.norm(class_emb, axis=-1, keepdims=True) + 1e-7)
+        sim = jnp.exp(self.lang_encoder.logit_scale) * jnp.einsum(
+            "bqc,btc->btq", v_emb, t_emb
+        )
+        matched = jnp.argmax(sim, axis=-1)  # (B, G_text)
+        masks = jnp.take_along_axis(
+            pred_gmasks, matched[..., None, None], axis=1
+        )
+        b, t = masks.shape[:2]
+        return jax.image.resize(
+            masks, (b, t, images.shape[1], images.shape[2]), method="bicubic"
+        )
+
+    # ------------------------------------------------------------------ #
+    # Interactive path (one encode, many decodes)
+    # ------------------------------------------------------------------ #
+    def decode_prompts(
+        self, sam_embedding: jax.Array, points=None, labels=None, boxes=None,
+        masks=None,
+    ) -> dict[str, Any]:
+        """SAM prompt decode from a cached embedding (reference
+        Sam.decode_from_embedding, sam/modeling/sam.py:103-136)."""
+        sparse, dense = self.prompt_encoder(
+            points=points, labels=labels, boxes=boxes, masks=masks,
+            batch=sam_embedding.shape[0],
+        )
+        image_pe = self.prompt_encoder.get_dense_pe()
+        return self.mask_decoder(sam_embedding, image_pe, sparse, dense)
+
+    def evaluate_interactive_step(
+        self,
+        sam_embedding: jax.Array,  # (B, 64, 64, 256) cached
+        fpn: dict[str, jax.Array],  # cached FPN features
+        points: jax.Array,  # (B, P, 2)
+        labels: jax.Array,  # (B, P)
+    ):
+        """One click-refinement round (reference evaluate_interactive:723-763):
+        SAM prompt decode -> unified head injection is approximated by the
+        classic SAM mask head on the cached embedding; returns per-prompt mask
+        logits at 1/4 resolution."""
+        out = self.decode_prompts(sam_embedding, points=points, labels=labels)
+        return out
+
+    def project_image_features(self, image_feature: jax.Array) -> jax.Array:
+        """LLM projector (reference :84 + :611-617)."""
+        return self.img_to_lang(image_feature)
+
+    def forward_llm_features(self, images: jax.Array, context_tokens: jax.Array):
+        """Vision path of the LLM stage (reference forward_llm:438-464):
+        unified head in 'llm' task mode -> 100 object-query features ->
+        projector. Returns (B, 100, llm_dim)."""
+        _, fpn = self.encode_image(images)
+        out = self._head(fpn, None, "llm", caption_tokens=context_tokens)
+        feat = jax.lax.stop_gradient(out["image_feature"])  # reference :457
+        return self.project_image_features(feat)
+
+    def __call__(self, images: jax.Array, text_embeddings: jax.Array):
+        """Default = evaluate_seg (flagship jit target)."""
+        return self.evaluate_seg(images, text_embeddings)
+
+    def warmup(self, images: jax.Array, text_embeddings: jax.Array):
+        """Trace every submodule once so ``init`` creates all parameters
+        (flax creates params lazily per traced branch)."""
+        c = self.cfg
+        b = images.shape[0]
+        sam_embedding, fpn = self.encode_image(images)
+        out = self._head(
+            fpn, text_embeddings, "seg_grounding",
+            grounding_tokens=jnp.zeros((b, 1, c.syslearner_dim)),
+            grounding_valid=jnp.ones((b, 1), bool),
+        )
+        vlp = self._head(
+            fpn, None, "vlp",
+            caption_tokens=jnp.zeros((b, c.contxt_len, c.syslearner_dim)),
+        )
+        grid4 = 4 * images.shape[1] // 16
+        dec = self.decode_prompts(
+            sam_embedding,
+            points=jnp.zeros((b, 1, 2)),
+            labels=jnp.zeros((b, 1), jnp.int32),
+            boxes=jnp.zeros((b, 4)),
+            masks=jnp.zeros((b, grid4, grid4, 1)),
+        )
+        ids = jnp.zeros((1, c.contxt_len), jnp.int32)
+        text = self.encode_text_tokens(ids)
+        llm_out = None
+        if c.llm_dim:
+            llm_out = self.project_image_features(
+                jnp.zeros((b, c.num_queries - 1, c.syslearner_dim))
+            )
+        return out, vlp, dec, text, llm_out
