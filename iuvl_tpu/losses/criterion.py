@@ -1,0 +1,144 @@
+"""Set criterion (DETR-style) for the seg stream, TPU-native.
+
+Parity target: /root/reference/modeling/modules/criterion.py — ``labels``
+cross-entropy with no-object coefficient (:138-169) and ``masks``
+point-sampled sigmoid-CE + dice with importance sampling (:337-393), applied
+to the final layer plus all aux layers with the weight dict built in
+xdecoder_model.from_config (:127-195: class 2.0 / bce 5.0 / dice 5.0,
+no-object 0.1, 12544 points, oversample 3.0, importance 0.75).
+
+TPU design: targets are dense padded tensors (static T_max) with validity
+masks; ``num_masks`` normalization is global because the jitted step sees
+the full (sharded) batch — the reference's explicit all_reduce
+(criterion.py:779-781) is subsumed by SPMD semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..ops.point_sample import point_sample, uncertain_point_coords
+from .matcher import compute_match_cost, hungarian_match
+
+
+@flax.struct.dataclass
+class SegTargets:
+    labels: jax.Array  # (B, T) int32 class ids
+    masks: jax.Array  # (B, T, H, W) float {0, 1} at mask_pred resolution scale
+    valid: jax.Array  # (B, T) bool
+
+
+@dataclasses.dataclass(frozen=True)
+class CriterionConfig:
+    num_classes: int  # K - 1 (no-object/background index == num_classes)
+    eos_coef: float = 0.1
+    num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    class_weight: float = 2.0
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    top_mask_layers: int = 10
+
+
+class SegCriterion:
+    def __init__(self, cfg: CriterionConfig):
+        self.cfg = cfg
+
+    # ---------------- individual losses ---------------- #
+    def loss_labels(self, pred_logits, targets: SegTargets, assigned):
+        """Reference criterion.py:138-169."""
+        c = self.cfg
+        b, q, k = pred_logits.shape
+        no_object = c.num_classes  # index of the background/no-object column
+        tc = jnp.full((b, q), no_object, jnp.int32)
+        scatter_vals = jnp.where(targets.valid, targets.labels, no_object).astype(
+            jnp.int32
+        )
+        tc = tc.at[jnp.arange(b)[:, None], assigned].set(scatter_vals)
+
+        logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, tc[..., None], axis=-1)[..., 0]
+        w = jnp.where(tc == no_object, c.eos_coef, 1.0)
+        return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+    def loss_masks(self, rng, pred_masks, targets: SegTargets, assigned, num_masks):
+        """Reference criterion.py:337-393."""
+        c = self.cfg
+        b, q, h, w = pred_masks.shape
+        t = targets.labels.shape[1]
+        src = jnp.take_along_axis(
+            pred_masks, assigned[:, :, None, None], axis=1
+        )  # (B, T, H, W)
+        src_flat = src.reshape(b * t, h, w).astype(jnp.float32)
+        tgt_flat = targets.masks.reshape(b * t, *targets.masks.shape[2:]).astype(
+            jnp.float32
+        )
+
+        coords = uncertain_point_coords(
+            rng, jax.lax.stop_gradient(src_flat), c.num_points,
+            c.oversample_ratio, c.importance_sample_ratio,
+        )
+        point_logits = point_sample(src_flat, coords)  # (B*T, P)
+        point_labels = point_sample(tgt_flat, jax.lax.stop_gradient(coords))
+
+        valid = targets.valid.reshape(b * t).astype(jnp.float32)
+        bce = (
+            jax.nn.softplus(point_logits) - point_logits * point_labels
+        ).mean(-1)
+        loss_bce = (bce * valid).sum() / num_masks
+
+        probs = jax.nn.sigmoid(point_logits)
+        numerator = 2.0 * (probs * point_labels).sum(-1)
+        denominator = probs.sum(-1) + point_labels.sum(-1)
+        dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
+        loss_dice = (dice * valid).sum() / num_masks
+        return loss_bce, loss_dice
+
+    # ---------------- full forward ---------------- #
+    def __call__(
+        self,
+        rng: jax.Array,
+        outputs: dict[str, Any],
+        targets: SegTargets,
+        match_points: int = 12544,
+    ) -> dict[str, jax.Array]:
+        """outputs: UnifiedDecoder dict (obj-query block only: Q = 100+1
+        sliced to the first num_queries-1 masks by the caller, matching
+        reference forward_seg:352-380). Returns the weighted loss dict."""
+        c = self.cfg
+        num_masks = jnp.maximum(targets.valid.sum().astype(jnp.float32), 1.0)
+
+        losses: dict[str, jax.Array] = {}
+        layer_outputs = list(outputs["aux_outputs"]) + [
+            {k: outputs[k] for k in ("pred_logits", "pred_masks")}
+        ]
+        for layer_id, layer_out in enumerate(layer_outputs):
+            rng, r_match, r_pts = jax.random.split(rng, 3)
+            cost = compute_match_cost(
+                r_match,
+                jax.lax.stop_gradient(layer_out["pred_logits"]),
+                jax.lax.stop_gradient(layer_out["pred_masks"]),
+                targets.labels, targets.masks, targets.valid,
+                num_points=match_points,
+                cost_class=c.class_weight,
+                cost_mask=c.mask_weight,
+                cost_dice=c.dice_weight,
+            )
+            assigned = hungarian_match(cost)
+
+            suffix = "_0" if layer_id == len(layer_outputs) - 1 else f"_{layer_id + 1}"
+            if layer_id < c.top_mask_layers:
+                ce = self.loss_labels(layer_out["pred_logits"], targets, assigned)
+                bce, dice = self.loss_masks(
+                    r_pts, layer_out["pred_masks"], targets, assigned, num_masks
+                )
+                losses[f"loss_mask_ce{suffix}"] = c.class_weight * ce
+                losses[f"loss_mask_bce{suffix}"] = c.mask_weight * bce
+                losses[f"loss_mask_dice{suffix}"] = c.dice_weight * dice
+        return losses

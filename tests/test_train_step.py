@@ -1,0 +1,119 @@
+"""Train-step tests: loss computation with Hungarian host callback, one
+optimizer update, and execution over an 8-device data-parallel mesh (the
+TPU-native analog of the reference's DDP path, SURVEY.md §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from iuvl_tpu.losses.criterion import CriterionConfig, SegCriterion, SegTargets
+from iuvl_tpu.losses.matcher import compute_match_cost, hungarian_match
+from iuvl_tpu.runtime.mesh import MeshSpec, create_mesh
+from iuvl_tpu.train.optimizer import build_optimizer
+from iuvl_tpu.train.train_step import TrainState, make_train_step
+
+
+def test_hungarian_matches_identity_on_diagonal_cost():
+    cost = jnp.asarray(
+        np.array([[[0.0, 10.0], [10.0, 0.0], [5.0, 5.0]]])  # (1, Q=3, T=2)
+    )
+    assigned = hungarian_match(cost)
+    np.testing.assert_array_equal(np.asarray(assigned), [[0, 1]])
+
+
+def test_match_cost_prefers_correct_query():
+    rs = np.random.RandomState(0)
+    q, t, h, w = 4, 2, 8, 8
+    pred_masks = jnp.asarray(np.full((1, q, h, w), -8.0, np.float32))
+    # query 2 covers target 0's region, query 0 covers target 1's region
+    pred_masks = pred_masks.at[0, 2, :4].set(8.0)
+    pred_masks = pred_masks.at[0, 0, 4:].set(8.0)
+    tgt_masks = np.zeros((1, t, h, w), np.float32)
+    tgt_masks[0, 0, :4] = 1.0
+    tgt_masks[0, 1, 4:] = 1.0
+    pred_logits = jnp.asarray(rs.randn(1, q, 3).astype(np.float32)) * 0.01
+    cost = compute_match_cost(
+        jax.random.PRNGKey(0), pred_logits, pred_masks,
+        jnp.zeros((1, t), jnp.int32), jnp.asarray(tgt_masks),
+        jnp.ones((1, t), bool), num_points=256,
+    )
+    assigned = np.asarray(hungarian_match(cost))
+    assert assigned[0, 0] == 2 and assigned[0, 1] == 0
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    from tests.test_syslearner import _tiny_model
+
+    model = _tiny_model()
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    text_emb = jnp.ones((5, 32), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), images, text_emb, method=type(model).warmup
+    )
+    return model, params
+
+
+def _targets(b, t=3, h=16, w=16):
+    rs = np.random.RandomState(5)
+    masks = (rs.rand(b, t, h, w) > 0.5).astype(np.float32)
+    return SegTargets(
+        labels=jnp.asarray(rs.randint(0, 4, (b, t)), jnp.int32),
+        masks=jnp.asarray(masks),
+        valid=jnp.asarray(np.tile([True, True, False], (b, 1))),
+    )
+
+
+def test_train_step_updates_params(tiny_setup):
+    model, params = tiny_setup
+    criterion = SegCriterion(CriterionConfig(num_classes=4))
+    tx = build_optimizer(params, base_lr=1e-3, total_steps=100)
+    step_fn = make_train_step(model, criterion, tx, match_points=64, donate=False)
+
+    state = TrainState.create(params, tx)
+    images = jnp.asarray(
+        np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32) * 255
+    )
+    text_emb = jnp.ones((5, 32), jnp.float32)
+    new_state, metrics = step_fn(
+        state, images, text_emb, _targets(1), jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert int(new_state.step) == 1
+    # 10 layers x 3 seg losses
+    assert sum(1 for k in metrics if k.startswith("loss_mask_ce")) == 10
+    # params changed
+    old = jax.tree.leaves(params)[0]
+    new = jax.tree.leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_train_step_data_parallel_mesh(tiny_setup):
+    model, params = tiny_setup
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    criterion = SegCriterion(CriterionConfig(num_classes=4))
+    tx = build_optimizer(params, base_lr=1e-3, total_steps=100)
+    step_fn = make_train_step(model, criterion, tx, match_points=64, donate=False)
+
+    replicated = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, P("data"))
+    params_r = jax.device_put(params, replicated)
+    state = TrainState.create(params_r, tx)
+    state = jax.device_put(state, replicated)
+
+    b = 8
+    images = jax.device_put(
+        jnp.asarray(np.random.RandomState(2).rand(b, 64, 64, 3) * 255, jnp.float32),
+        data_sharded,
+    )
+    text_emb = jax.device_put(jnp.ones((5, 32), jnp.float32), replicated)
+    tgt = _targets(b)
+    tgt = SegTargets(
+        labels=jax.device_put(tgt.labels, data_sharded),
+        masks=jax.device_put(tgt.masks, data_sharded),
+        valid=jax.device_put(tgt.valid, data_sharded),
+    )
+    new_state, metrics = step_fn(state, images, text_emb, tgt, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss_total"]))
