@@ -1,0 +1,108 @@
+"""Benchmark: SAM ViT-B interactive masks/sec/chip (BASELINE north-star).
+
+Protocol: one 1024x1024 image is encoded once (ViT-B, bf16), then 1024
+point prompts (the 32x32 automatic-mask-generation grid) are decoded in
+prompt-batches of 64 through the prompt encoder + two-way mask decoder.
+masks/sec = prompts / (encode_time + total_decode_time) — the amortized
+cost per mask of the one-encode/many-decode interactive path.
+
+Timing is RTT-robust: the whole per-image pipeline is wrapped in ONE jitted
+program with `lax.scan` over decode chunks, so a single dispatch covers all
+device work; per-image time is measured by differencing K-iteration and
+1-iteration chained runs (each forced with a host fetch), which cancels the
+dispatch/tunnel overhead that a bare block_until_ready can hide.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Target (BASELINE.json): >= 2000 masks/sec/chip on TPU v5e.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iuvl_tpu.models.sam.build import Sam, SamConfig
+
+    cfg = SamConfig(dtype="bfloat16")  # ViT-B, 1024x1024
+    model = Sam(cfg=cfg)
+
+    n_prompts = 1024
+    chunk = 64
+
+    images0 = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+    pts1 = jnp.zeros((1, 1, 2), jnp.float32)
+    lab1 = jnp.ones((1, 1), jnp.int32)
+    params = jax.jit(lambda rng: model.init(rng, images0, pts1, lab1))(
+        jax.random.PRNGKey(0)
+    )
+
+    def per_image(params, img, all_pts, all_labs):
+        """Encode once + scan over decode chunks; returns a checksum."""
+        normalized = model.apply(params, img, method=Sam.normalize)
+        emb, _ = model.apply(params, normalized, method=Sam.encode_image)
+        emb_tiled = jnp.broadcast_to(emb, (chunk, *emb.shape[1:]))
+
+        def body(carry, inp):
+            pts, labs = inp
+            masks = model.apply(
+                params, emb_tiled, points=pts, labels=labs,
+                method=Sam.decode_from_embedding,
+            )["masks"]
+            return carry + masks.mean().astype(jnp.float32), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.float32(0.0), (all_pts, all_labs)
+        )
+        return total
+
+    def chained(params, img, all_pts, all_labs, iters):
+        """iters sequential per-image pipelines, serialized via data dep."""
+        def body(carry, _):
+            out = per_image(params, img + carry * 1e-12, all_pts, all_labs)
+            return out, None
+
+        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return final
+
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 1024, 1024, 3)) * 255
+    n_chunks = n_prompts // chunk
+    all_pts = jax.random.uniform(
+        jax.random.PRNGKey(2), (n_chunks, chunk, 1, 2)
+    ) * 1024
+    all_labs = jnp.ones((n_chunks, chunk, 1), jnp.int32)
+
+    run1 = jax.jit(lambda p, i, a, b: chained(p, i, a, b, 1))
+    runk = jax.jit(lambda p, i, a, b: chained(p, i, a, b, 9))
+
+    # Warm up both programs.
+    float(run1(params, img, all_pts, all_labs))
+    float(runk(params, img, all_pts, all_labs))
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(params, img, all_pts, all_labs))  # host fetch forces sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(run1)
+    tk = timed(runk)
+    per_image_s = (tk - t1) / 8.0  # overhead cancels in the difference
+
+    masks_per_sec = n_prompts / per_image_s
+    print(json.dumps({
+        "metric": "sam_vitb_masks_per_sec_per_chip",
+        "value": round(masks_per_sec, 2),
+        "unit": "masks/s",
+        "vs_baseline": round(masks_per_sec / 2000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
