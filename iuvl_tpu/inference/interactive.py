@@ -1,0 +1,126 @@
+"""Interactive click-refinement loop (the framework's namesake feature).
+
+Reference: evaluate_interactive + prepare_next_spaital_mask
+(/root/reference/modeling/architectures/xdecoder_model.py:691-903). Protocol:
+up to 20 clicks, per round predict a mask per target, compute IoU against
+gt, and sample the next click uniformly from the false-negative region
+(the reference's "(best random)" choice at :881), stopping clicks once
+IoU >= 0.925.
+
+Divergence note (documented per SURVEY.md §2.9): the reference snapshot
+passes the SAM decode outputs into head arguments that are discarded
+(xdecoder_head.py:55 `mask`/`target_queries`), making clicks inert in the
+committed code. Here the loop is implemented coherently: clicks feed the
+SAM prompt encoder -> two-way mask decoder from a *cached* image embedding
+(one-encode/many-decode), so each click actually refines the mask.
+
+TPU design: the whole 20-round loop is ONE jitted program — a
+``lax.scan`` over rounds with a static click-capacity buffer; next-click
+sampling is a categorical draw over FN pixels (no host round trips).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+STOP_IOU = 0.925  # reference xdecoder_model.py:889
+MAX_CLICKS = 20  # reference :723
+
+
+def mask_iou(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """(N, H, W) bool-ish -> (N,) IoU (reference modeling/utils/misc.py:218)."""
+    p = pred.astype(jnp.bool_)
+    g = gt.astype(jnp.bool_)
+    inter = (p & g).sum((-2, -1))
+    union = (p | g).sum((-2, -1))
+    return inter / (union + 1e-8)
+
+
+def sample_fn_click(rng: jax.Array, gt: jax.Array, pred: jax.Array) -> jax.Array:
+    """Sample one click per target uniformly from the false-negative region
+    (fallback: whole gt if FN empty — reference :868-871). gt/pred (N, H, W)
+    bool. Returns (N, 2) xy coords (float)."""
+    n, h, w = gt.shape
+    fn = gt & ~pred
+    fn = jnp.where(fn.any((-2, -1), keepdims=True), fn, gt)
+    logits = jnp.where(fn.reshape(n, -1), 0.0, -1e9)
+    idx = jax.random.categorical(rng, logits, axis=-1)  # (N,)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    return jnp.stack([xs, ys], axis=-1)
+
+
+def make_interactive_loop(
+    model,
+    max_clicks: int = MAX_CLICKS,
+    stop_iou: float = STOP_IOU,
+    mask_index: int = 0,
+):
+    """Builds a jitted function
+    ``loop(params, sam_embedding, gt_masks, first_clicks, rng) ->
+    (ious (rounds, N), final_masks (N, H, W))``.
+
+    - ``sam_embedding``: (1, 64, 64, 256) cached encoder output, tiled to N.
+    - ``gt_masks``: (N, H, W) bool at model input resolution.
+    - ``first_clicks``: (N, 2) xy of the initial prompt per target.
+    """
+
+    def loop(params, sam_embedding, gt_masks, first_clicks, rng):
+        n, gh, gw = gt_masks.shape
+        emb = jnp.broadcast_to(sam_embedding, (n, *sam_embedding.shape[1:]))
+
+        points0 = jnp.zeros((n, max_clicks, 2), jnp.float32)
+        labels0 = jnp.full((n, max_clicks), -1, jnp.int32)  # -1 = pad
+        points0 = points0.at[:, 0].set(first_clicks)
+        labels0 = labels0.at[:, 0].set(1)
+
+        def round_fn(carry, rnd):
+            points, labels, rng = carry
+            out = model.apply(
+                params, emb, points=points, labels=labels,
+                method=type(model).decode_prompts,
+            )
+            logits = out["masks"][:, mask_index]  # (N, h4, w4)
+            logits = jax.image.resize(logits, (n, gh, gw), method="bicubic")
+            pred = logits > 0
+            ious = mask_iou(pred, gt_masks)
+
+            rng, r_click = jax.random.split(rng)
+            click = sample_fn_click(r_click, gt_masks, pred)
+            # Append the click at slot rnd+1 only while IoU < stop threshold.
+            keep = ious < stop_iou
+            slot = jnp.minimum(rnd + 1, max_clicks - 1)
+            new_points = points.at[:, slot].set(
+                jnp.where(keep[:, None], click, points[:, slot])
+            )
+            new_labels = labels.at[:, slot].set(
+                jnp.where(keep, 1, labels[:, slot])
+            )
+            return (new_points, new_labels, rng), (ious, pred)
+
+        (_, _, _), (ious, preds) = jax.lax.scan(
+            round_fn, (points0, labels0, rng), jnp.arange(max_clicks)
+        )
+        return ious, preds[-1]
+
+    return jax.jit(loop)
+
+
+def run_interactive_eval(
+    model, params, sam_embedding, gt_masks, first_clicks, rng,
+    evaluator=None, max_clicks: int = MAX_CLICKS,
+) -> dict[str, Any]:
+    """Convenience wrapper: run the loop and feed trajectories into an
+    InteractiveEvaluator (iuvl_tpu.evaluation.interactive)."""
+    import numpy as np
+
+    loop = make_interactive_loop(model, max_clicks=max_clicks)
+    ious, final = loop(params, sam_embedding, gt_masks, first_clicks, rng)
+    ious = np.asarray(ious)  # (rounds, N)
+    if evaluator is not None:
+        for i in range(ious.shape[1]):
+            evaluator.process(ious[:, i])
+    return {"ious": ious, "final_masks": np.asarray(final)}
