@@ -1,0 +1,161 @@
+"""XDecoderPipeline: binds model + data + evaluators.
+
+Parity target: /root/reference/pipeline/XDecoderPipeline.py (:38-153) —
+``initialize_model``, ``get_dataloaders``, ``forward_step`` and
+``evaluate_model`` with per-dataset class-name text-embedding refresh
+(:119-125) and eval-mode switching by dataset name (pipeline/misc.py:31-55).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.class_names import COCO_THING_IDS, get_class_names
+from .data.datasets import batched_iterator, build_dataset
+from .data.prompts import get_prompt_templates, clean_class_name
+from .data.tokenizer import build_tokenizer
+from .evaluation import SemSegEvaluator
+from .inference.postprocess import panoptic_merge, semantic_inference
+from .models.xdecoder.model import SysLearner, SysLearnerConfig
+
+logger = logging.getLogger("iuvl_tpu")
+
+
+def hook_switcher(dataset_name: str) -> dict[str, bool]:
+    """Per-dataset eval-head switches (reference pipeline/misc.py:31-55)."""
+    n = dataset_name.lower()
+    if "refcoco" in n:
+        return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
+                "mode": "grounding"}
+    if "pascalvoc" in n or "point" in n:
+        return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
+                "mode": "interactive"}
+    if "ade" in n and "panoptic" not in n:
+        return {"semantic_on": True, "instance_on": False, "panoptic_on": False,
+                "mode": "seg"}
+    return {"semantic_on": True, "instance_on": True, "panoptic_on": True,
+            "mode": "seg"}
+
+
+class XDecoderPipeline:
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self.tokenizer = build_tokenizer(cfg.get("TOKENIZER_MERGES"))
+        self.model: SysLearner | None = None
+        self._text_cache: dict[str, np.ndarray] = {}
+
+    # ------------------------------------------------------------------ #
+    def model_config(self) -> SysLearnerConfig:
+        c = self.cfg
+        return SysLearnerConfig(
+            sam_size=c.get("SAM_SIZE", "base"),
+            img_size=c.get("IMAGE_SIZE", 1024),
+            syslearner_dim=c.get("SYSLEARNER_DIM", 512),
+            mask_proposals=c.get("MASK_PROPOSAL", 100),
+            dtype=c.get("DTYPE", "bfloat16"),
+            attn_impl=c.get("ATTN_IMPL", "xla"),
+            msdeform_impl=c.get("MSDEFORM_IMPL", "xla"),
+            llm_dim=4096 if c.get("Load_LLM") else 0,
+        )
+
+    def initialize_model(self, rng=None):
+        cfg = self.model_config()
+        self.model = SysLearner(cfg=cfg)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        images = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        text = jnp.zeros((2, cfg.syslearner_dim), jnp.float32)
+        params = jax.jit(
+            lambda r: self.model.init(r, images, text, method=SysLearner.warmup)
+        )(rng)
+        return self.model, params
+
+    # ------------------------------------------------------------------ #
+    def get_dataloaders(self, split: str, batch_size: int, is_evaluation=False):
+        names = (
+            self.cfg.get("DATASETS", {}).get("TEST" if is_evaluation else "TRAIN")
+            or ["synthetic_seg"]
+        )
+        name = names[0] if is_evaluation else names[0]
+        ds = build_dataset(name, self.cfg.get(name.upper(), {}), split)
+        return name, batched_iterator(
+            ds, batch_size, shuffle=not is_evaluation,
+            epochs=1 if is_evaluation else None,
+        )
+
+    # ------------------------------------------------------------------ #
+    def class_text_embeddings(
+        self, params, dataset_name: str, is_eval: bool = True, rng=None
+    ) -> jax.Array:
+        """Class-name embedding cache with prompt ensembling
+        (reference vlpencoder.py:74-131). Eval: mean over the full template
+        ensemble per class, re-normalized."""
+        key = f"{dataset_name}:{is_eval}"
+        if key in self._text_cache:
+            return self._text_cache[key]
+        names = get_class_names(
+            dataset_name, num_classes=self.cfg.get("NUM_CLASSES", 10)
+        )
+        templates = get_prompt_templates()
+        embed_fn = jax.jit(
+            lambda p, ids, m: self.model.apply(
+                p, ids, m, method=SysLearner.encode_text_embeddings
+            )
+        )
+        all_embs = []
+        for cls in names:
+            cname = clean_class_name(cls)
+            texts = (
+                [t.format(cname) for t in templates] if is_eval
+                else [f"a photo of a {cname}."]
+            )
+            toks = self.tokenizer(texts)
+            emb = embed_fn(
+                params, jnp.asarray(toks["input_ids"]),
+                jnp.asarray(toks["attention_mask"]),
+            )
+            mean = np.asarray(emb).mean(0)
+            mean /= np.linalg.norm(mean) + 1e-7
+            all_embs.append(mean)
+        out = jnp.asarray(np.stack(all_embs))
+        self._text_cache[key] = out
+        return out
+
+    # ------------------------------------------------------------------ #
+    def evaluate_model(self, params, batch_size: int = 1, max_batches=None):
+        """Eval loop over DATASETS.TEST[0] (semantic path). Returns metric
+        dict (reference XDecoderPipeline.evaluate_model:104-153)."""
+        name, loader = self.get_dataloaders("val", batch_size, is_evaluation=True)
+        switches = hook_switcher(name)
+        text_emb = self.class_text_embeddings(params, name, is_eval=True)
+        num_classes = text_emb.shape[0] - 1
+        evaluator = SemSegEvaluator(num_classes=num_classes)
+
+        eval_fn = jax.jit(
+            lambda p, img, t: self.model.apply(
+                p, img, t, method=SysLearner.evaluate_seg
+            )
+        )
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            mask_cls, mask_pred = eval_fn(
+                params, jnp.asarray(batch["image"]), text_emb
+            )
+            sem = jax.vmap(semantic_inference)(mask_cls, mask_pred)
+            pred = np.asarray(jnp.argmax(sem, axis=1))
+            if "masks" in batch:
+                # Build gt semantic map from instance masks.
+                for b in range(pred.shape[0]):
+                    gt = np.full(pred.shape[1:], 255, np.int64)
+                    scale = pred.shape[1] // batch["masks"].shape[2]
+                    for k in range(batch["masks"].shape[1]):
+                        if batch["valid"][b, k]:
+                            m = batch["masks"][b, k].repeat(scale, 0).repeat(scale, 1)
+                            gt[m > 0.5] = batch["labels"][b, k]
+                    evaluator.process(pred[b], gt)
+        return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
