@@ -1,0 +1,156 @@
+"""Grounding + VLP (caption/captioning/retrieval) training losses.
+
+Parity targets:
+- loss_groundings (/root/reference/modeling/modules/criterion.py:395-509):
+  per-image similarity between grounding-query caption embeddings and
+  phrase embeddings -> Hungarian match (grounding mode, matcher.py:253-315)
+  -> point-sampled BCE + dice on matched grounding masks + a
+  text-to-image CE whose targets share credit across duplicate phrases
+  (hash table -> here a precomputed group matrix), weighted by
+  GROUNDING.TEXT_WEIGHT / CLASS_WEIGHT (2.0 / 0.5).
+- loss_captionings (criterion.py:274-294): teacher-forced token CE of
+  predicted caption embeddings against the frozen token-embedding matrix.
+- loss_itc (criterion.py:198-232): image-text contrastive on the class
+  query vs pooled caption embedding (queue variant reduces to the global
+  symmetric CE under SPMD).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..ops.point_sample import point_sample, uncertain_point_coords
+from .language import clamped_scale, contrastive_loss
+from .matcher import BIG_COST, hungarian_match, pairwise_dice, pairwise_sigmoid_ce
+
+
+@flax.struct.dataclass
+class GroundingTargets:
+    masks: jax.Array  # (B, G, H, W) float {0,1}
+    class_embs: jax.Array  # (B, G, D) pooled phrase embeddings
+    group_matrix: jax.Array  # (B, G, G) 1 iff phrases identical
+    valid: jax.Array  # (B, G) bool
+    task_weight: jax.Array  # (B,) grounding weight (2.0 text / 0.5 class)
+
+
+@dataclasses.dataclass(frozen=True)
+class GroundingConfig:
+    num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    cost_class: float = 2.0
+    cost_mask: float = 5.0
+    cost_dice: float = 5.0
+
+
+def grounding_losses(
+    rng: jax.Array,
+    pred_gmasks: jax.Array,  # (B, Q, H, W)
+    pred_gtexts: jax.Array,  # (B, Q, D)
+    targets: GroundingTargets,
+    logit_scale: jax.Array,
+    cfg: GroundingConfig = GroundingConfig(),
+) -> dict[str, jax.Array]:
+    b, q = pred_gmasks.shape[:2]
+    g = targets.masks.shape[1]
+
+    v = pred_gtexts / (jnp.linalg.norm(pred_gtexts, axis=-1, keepdims=True) + 1e-7)
+    t = targets.class_embs / (
+        jnp.linalg.norm(targets.class_embs, axis=-1, keepdims=True) + 1e-7
+    )
+    sim = clamped_scale(logit_scale) * jnp.einsum("bqd,bgd->bqg", v, t)
+
+    # ---- matching cost: class sim + point-sampled mask costs ---- #
+    rng, r_pts, r_loss = jax.random.split(rng, 3)
+    coords = jax.random.uniform(r_pts, (b, 1, cfg.num_points // 4, 2))
+    npts = coords.shape[2]
+    pm = point_sample(
+        pred_gmasks.astype(jnp.float32).reshape(b * q, *pred_gmasks.shape[2:]),
+        jnp.broadcast_to(coords, (b, q, npts, 2)).reshape(b * q, npts, 2),
+    ).reshape(b, q, npts)
+    tm = point_sample(
+        targets.masks.astype(jnp.float32).reshape(b * g, *targets.masks.shape[2:]),
+        jnp.broadcast_to(coords, (b, g, npts, 2)).reshape(b * g, npts, 2),
+    ).reshape(b, g, npts)
+    cost = (
+        cfg.cost_class * (-jax.nn.softmax(sim, axis=1))
+        + cfg.cost_mask * jax.vmap(pairwise_sigmoid_ce)(pm, tm)
+        + cfg.cost_dice * jax.vmap(pairwise_dice)(pm, tm)
+    )
+    cost = jnp.where(jnp.isfinite(cost), cost, BIG_COST)
+    cost = jnp.where(targets.valid[:, None, :], cost, BIG_COST)
+    assigned = hungarian_match(cost)  # (B, G)
+
+    # ---- point-sampled BCE + dice on matched masks ---- #
+    src = jnp.take_along_axis(pred_gmasks, assigned[:, :, None, None], axis=1)
+    src_flat = src.reshape(b * g, *src.shape[2:]).astype(jnp.float32)
+    tgt_flat = targets.masks.reshape(b * g, *targets.masks.shape[2:]).astype(
+        jnp.float32
+    )
+    pcoords = uncertain_point_coords(
+        r_loss, jax.lax.stop_gradient(src_flat), cfg.num_points,
+        cfg.oversample_ratio, cfg.importance_sample_ratio,
+    )
+    pl_ = point_sample(src_flat, pcoords)
+    tl = point_sample(tgt_flat, jax.lax.stop_gradient(pcoords))
+    valid = targets.valid.reshape(b * g).astype(jnp.float32)
+    num = jnp.maximum(valid.sum(), 1.0)
+    bce = ((jax.nn.softplus(pl_) - pl_ * tl).mean(-1) * valid).sum() / num
+    probs = jax.nn.sigmoid(pl_)
+    dice = (
+        (1.0 - (2.0 * (probs * tl).sum(-1) + 1.0)
+         / (probs.sum(-1) + tl.sum(-1) + 1.0)) * valid
+    ).sum() / num
+
+    # ---- t2i CE with duplicate-phrase credit sharing ---- #
+    # gt assignment (B, Q, G): 1 at (assigned[g], g), spread over duplicates.
+    onehot = jax.nn.one_hot(assigned, q, axis=1)  # (B, Q, G)
+    gm = targets.group_matrix / jnp.maximum(
+        targets.group_matrix.sum(-1, keepdims=True), 1.0
+    )
+    gt_logit = jnp.einsum("bqg,bgh->bqh", onehot, gm)
+    logp = jax.nn.log_softmax(
+        jnp.swapaxes(sim, 1, 2).astype(jnp.float32), axis=-1
+    )  # (B, G, Q): softmax over queries per phrase
+    ce = -(jnp.swapaxes(gt_logit, 1, 2) * logp).sum(-1)  # (B, G)
+    wvalid = targets.valid.astype(jnp.float32)
+    ce = (ce * wvalid).sum(-1) / jnp.maximum(wvalid.sum(-1), 1.0)  # per image
+    loss_ce = (ce * targets.task_weight).mean()
+
+    return {
+        "loss_grounding_bce_0": bce,
+        "loss_grounding_dice_0": dice,
+        "loss_grounding_ce_0": loss_ce,
+    }
+
+
+def captioning_loss(
+    pred_captionings: jax.Array,  # (B, T, D) caption-slot embeddings
+    token_embedding: jax.Array,  # (V, D) frozen text-tower token table
+    target_ids: jax.Array,  # (B, T) caption token ids
+    target_mask: jax.Array,  # (B, T) 1 = real token
+) -> jax.Array:
+    """Teacher-forced next-token CE (reference criterion.py:274-294)."""
+    logits = pred_captionings[:, :-1].astype(jnp.float32) @ token_embedding.T.astype(
+        jnp.float32
+    )
+    tgt = target_ids[:, 1:]
+    msk = target_mask[:, 1:].astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return (nll * msk).sum() / (msk.sum() + 1.0)
+
+
+def retrieval_loss(
+    class_query_emb: jax.Array,  # (B, D) — pred_captions[:, -1]
+    caption_emb: jax.Array,  # (B, D) pooled caption embeddings
+    logit_scale: jax.Array,
+) -> jax.Array:
+    """Decoder-side image-text contrastive (reference loss_itc first term)."""
+    v = class_query_emb / (jnp.linalg.norm(class_query_emb, axis=-1, keepdims=True) + 1e-7)
+    t = caption_emb / (jnp.linalg.norm(caption_emb, axis=-1, keepdims=True) + 1e-7)
+    return contrastive_loss(v, t, logit_scale)

@@ -61,6 +61,49 @@ def decomposed_rel_pos_bias(
     return bias.reshape(b, heads, h * w, h * w)
 
 
+def augment_qk_rel_pos(
+    q: jax.Array, k: jax.Array, rel_pos_h: jax.Array, rel_pos_w: jax.Array,
+    hw: tuple[int, int],
+):
+    """Fold the decomposed rel-pos bias into the QK matmul.
+
+    bias[q, k] = <Rh[qh], q_h> + <Rw[qw], q_w> depends on k only through
+    (kh, kw) — i.e. it's the inner product of per-query features
+    [rel_h_q (h dims), rel_w_q (w dims)] with per-key indicator features
+    [onehot(kh), onehot(kw)]. Augmenting Q with those features and K with
+    the indicators makes ``softmax(Q_aug K_aug^T)`` EXACTLY equal to
+    ``softmax(q*scale @ k^T + bias)`` — no (N, N) bias tensor, pure MXU
+    matmuls, and any vanilla flash-attention kernel applies.
+
+    Returns (q_aug, k_aug): (B, heads, N, d + h + w).
+    """
+    h, w = hw
+    b, heads, n, d = q.shape
+    scale = d ** -0.5
+    Rh = rel_pos_table(h, h, rel_pos_h.astype(jnp.float32))  # (h, h, d)
+    Rw = rel_pos_table(w, w, rel_pos_w.astype(jnp.float32))  # (w, w, d)
+    r_q = q.astype(jnp.float32).reshape(b, heads, h, w, d)
+    rel_h_q = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh).reshape(b, heads, n, h)
+    rel_w_q = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(b, heads, n, w)
+
+    eye_h = jnp.eye(h, dtype=q.dtype)
+    eye_w = jnp.eye(w, dtype=q.dtype)
+    onehot_kh = jnp.repeat(eye_h, w, axis=0)  # (N, h): row i -> onehot(i // w)
+    onehot_kw = jnp.tile(eye_w, (h, 1))  # (N, w): row i -> onehot(i % w)
+    k_aug = jnp.concatenate(
+        [
+            k,
+            jnp.broadcast_to(onehot_kh[None, None], (b, heads, n, h)),
+            jnp.broadcast_to(onehot_kw[None, None], (b, heads, n, w)),
+        ],
+        axis=-1,
+    )
+    q_aug = jnp.concatenate(
+        [q * scale, rel_h_q.astype(q.dtype), rel_w_q.astype(q.dtype)], axis=-1
+    )
+    return q_aug, k_aug
+
+
 def rel_pos_attention(
     q: jax.Array,
     k: jax.Array,
@@ -73,18 +116,27 @@ def rel_pos_attention(
     """Attention with decomposed rel-pos bias over a (h, w) token grid.
 
     q, k, v: (B, heads, N, head_dim) with N == h*w. Returns (B, heads, N, d).
+    impl: 'xla' (augmented matmuls), 'xla_naive' (materialized bias oracle),
+    'pallas' (fused flash kernel on augmented qk).
     """
+    if impl == "xla_naive":
+        return _rel_pos_attention_naive(q, k, v, rel_pos_h, rel_pos_w, hw)
+    q_aug, k_aug = augment_qk_rel_pos(q, k, rel_pos_h, rel_pos_w, hw)
     if impl == "pallas":
-        from .pallas.sam_attention import rel_pos_attention_pallas
+        from .pallas.flash_attention import flash_attention
 
-        return rel_pos_attention_pallas(q, k, v, rel_pos_h, rel_pos_w, hw)
-    return _rel_pos_attention_xla(q, k, v, rel_pos_h, rel_pos_w, hw)
+        return flash_attention(q_aug, k_aug, v, softmax_scale=1.0)
+    attn = jnp.einsum(
+        "bnqd,bnkd->bnqk", q_aug, k_aug, preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnqk,bnkd->bnqd", attn, v)
 
 
-def _rel_pos_attention_xla(q, k, v, rel_pos_h, rel_pos_w, hw):
+def _rel_pos_attention_naive(q, k, v, rel_pos_h, rel_pos_w, hw):
+    """Materialized-bias oracle (matches reference math step by step)."""
     d = q.shape[-1]
     scale = d ** -0.5
-    # fp32 accumulation for the score matrix regardless of input dtype.
     attn = jnp.einsum(
         "bnqd,bnkd->bnqk", q * scale, k, preferred_element_type=jnp.float32
     )

@@ -1,0 +1,77 @@
+"""Attention op equivalence: naive materialized-bias oracle vs the
+augmented-matmul XLA path vs the Pallas flash kernel (interpret mode on
+CPU). Mirrors the reference's kernel-vs-oracle test strategy (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iuvl_tpu.ops.rel_pos_attention import (
+    augment_qk_rel_pos,
+    rel_pos_attention,
+)
+
+
+def _inputs(h=5, w=5, heads=2, d=16, b=2, seed=0):
+    rs = np.random.RandomState(seed)
+    n = h * w
+    q = jnp.asarray(rs.randn(b, heads, n, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, heads, n, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, heads, n, d).astype(np.float32))
+    rph = jnp.asarray(rs.randn(2 * h - 1, d).astype(np.float32) * 0.1)
+    rpw = jnp.asarray(rs.randn(2 * w - 1, d).astype(np.float32) * 0.1)
+    return q, k, v, rph, rpw, (h, w)
+
+
+def test_augmented_matches_naive():
+    q, k, v, rph, rpw, hw = _inputs()
+    naive = rel_pos_attention(q, k, v, rph, rpw, hw, impl="xla_naive")
+    fast = rel_pos_attention(q, k, v, rph, rpw, hw, impl="xla")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-5)
+
+
+def test_augmented_grad_matches_naive():
+    q, k, v, rph, rpw, hw = _inputs(seed=1)
+
+    def loss(impl):
+        def f(q_, rph_):
+            return rel_pos_attention(q_, k, v, rph_, rpw, hw, impl=impl).sum()
+
+        return jax.grad(f, argnums=(0, 1))(q, rph)
+
+    g_naive = loss("xla_naive")
+    g_fast = loss("xla")
+    for a, b_ in zip(g_fast, g_naive):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_flash_kernel_interpret_matches_xla():
+    from iuvl_tpu.ops.pallas import flash_attention as fa
+
+    q, k, v, rph, rpw, hw = _inputs(seed=2)
+    q_aug, k_aug = augment_qk_rel_pos(q, k, rph, rpw, hw)
+
+    ref = jnp.einsum("bnqd,bnkd->bnqk", q_aug, k_aug,
+                     preferred_element_type=jnp.float32)
+    ref = jax.nn.softmax(ref, axis=-1).astype(v.dtype)
+    ref = jnp.einsum("bnqk,bnkd->bnqd", ref, v)
+
+    # Run the kernel in interpreter mode (CPU test env).
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    pl.pallas_call = interp_call
+    try:
+        fa.pl.pallas_call = interp_call
+        out = fa.flash_attention(q_aug, k_aug, v)
+    finally:
+        pl.pallas_call = orig_call
+        fa.pl.pallas_call = orig_call
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iuvl_tpu.losses.grounding import (
+    GroundingConfig,
+    GroundingTargets,
+    captioning_loss,
+    grounding_losses,
+    retrieval_loss,
+)
+from iuvl_tpu.losses.language import (
+    contrastive_loss,
+    ql_multi_contrastive_loss,
+    soft_cross_entropy,
+    vl_similarity,
+)
+
+
+def _norm(x):
+    return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-7)
+
+
+def test_contrastive_loss_prefers_aligned():
+    rs = np.random.RandomState(0)
+    v = jnp.asarray(_norm(rs.randn(6, 16)).astype(np.float32))
+    scale = jnp.asarray(np.log(10.0), jnp.float32)
+    aligned = contrastive_loss(v, v, scale)
+    shuffled = contrastive_loss(v, v[::-1], scale)
+    assert float(aligned) < float(shuffled)
+
+
+def test_ql_multi_groups_share_credit():
+    rs = np.random.RandomState(1)
+    t = _norm(rs.randn(4, 8)).astype(np.float32)
+    t[1] = t[0]  # duplicate text
+    group = np.eye(4, dtype=np.float32)
+    group[0, 1] = group[1, 0] = 1
+    v = t.copy()
+    loss = ql_multi_contrastive_loss(
+        jnp.asarray(v), jnp.asarray(t), jnp.asarray(group),
+        jnp.asarray(np.log(10.0), jnp.float32),
+    )
+    assert np.isfinite(float(loss))
+    # v[0] matching either t[0] or t[1] must not be penalized vs unique match
+    sim = vl_similarity(jnp.asarray(v), jnp.asarray(t), jnp.asarray(np.log(10.0)))
+    assert sim.shape == (4, 4)
+
+
+def test_soft_cross_entropy_onehot_equals_ce():
+    logits = jnp.asarray(np.random.RandomState(2).randn(3, 5).astype(np.float32))
+    onehot = jax.nn.one_hot(jnp.asarray([1, 0, 4]), 5)
+    sce = soft_cross_entropy(logits, onehot)
+    ce = -jnp.take_along_axis(
+        jax.nn.log_softmax(logits, -1), jnp.asarray([[1], [0], [4]]), 1
+    ).mean()
+    np.testing.assert_allclose(float(sce), float(ce), rtol=1e-6)
+
+
+def test_grounding_losses_shapes_and_finite():
+    rs = np.random.RandomState(3)
+    b, q, g, h, w, d = 2, 6, 3, 16, 16, 8
+    pred_gmasks = jnp.asarray(rs.randn(b, q, h, w).astype(np.float32))
+    pred_gtexts = jnp.asarray(rs.randn(b, q, d).astype(np.float32))
+    masks = (rs.rand(b, g, h, w) > 0.5).astype(np.float32)
+    targets = GroundingTargets(
+        masks=jnp.asarray(masks),
+        class_embs=jnp.asarray(rs.randn(b, g, d).astype(np.float32)),
+        group_matrix=jnp.broadcast_to(jnp.eye(g), (b, g, g)),
+        valid=jnp.asarray([[True, True, False], [True, True, True]]),
+        task_weight=jnp.asarray([2.0, 0.5]),
+    )
+    losses = grounding_losses(
+        jax.random.PRNGKey(0), pred_gmasks, pred_gtexts, targets,
+        jnp.asarray(0.0, jnp.float32), GroundingConfig(num_points=64),
+    )
+    assert set(losses) == {
+        "loss_grounding_bce_0", "loss_grounding_dice_0", "loss_grounding_ce_0"
+    }
+    for v in losses.values():
+        assert np.isfinite(float(v))
+
+
+def test_captioning_loss_perfect_prediction_low():
+    rs = np.random.RandomState(4)
+    vocab, d, t = 12, 8, 5
+    table = _norm(rs.randn(vocab, d)).astype(np.float32) * 10
+    ids = np.array([[1, 3, 5, 7, 0]])
+    mask = np.array([[1, 1, 1, 1, 0]])
+    # pred at position i should predict token at i+1
+    pred = np.stack([table[ids[0, i + 1]] if i + 1 < t else table[0]
+                     for i in range(t)])[None]
+    good = captioning_loss(
+        jnp.asarray(pred), jnp.asarray(table), jnp.asarray(ids), jnp.asarray(mask)
+    )
+    bad = captioning_loss(
+        jnp.asarray(-pred), jnp.asarray(table), jnp.asarray(ids), jnp.asarray(mask)
+    )
+    assert float(good) < float(bad)
+
+
+def test_retrieval_loss_finite():
+    rs = np.random.RandomState(5)
+    v = jnp.asarray(rs.randn(4, 8).astype(np.float32))
+    t = jnp.asarray(rs.randn(4, 8).astype(np.float32))
+    loss = retrieval_loss(v, t, jnp.asarray(0.0, jnp.float32))
+    assert np.isfinite(float(loss))
