@@ -93,18 +93,34 @@ class TextTransformer(nn.Module):
     autoregressive: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, input_ids, attention_mask=None):
-        tok = self.param(
+    def setup(self):
+        self.token_embedding = self.param(
             "token_embedding",
             nn.initializers.truncated_normal(0.02),
             (self.vocab_size, self.width),
         )
-        pos = self.param(
+        self.positional_embedding = self.param(
             "positional_embedding",
             nn.initializers.truncated_normal(0.02),
             (self.context_length, self.width),
         )
+        self.resblocks = [
+            ResidualAttentionBlock(
+                d_model=self.width, n_head=self.heads, dtype=self.dtype,
+                name=f"block{i}",
+            )
+            for i in range(self.layers)
+        ]
+        self.ln_final = TFLayerNorm(name="ln_final")
+
+    def token_table(self) -> jax.Array:
+        """Raw token-embedding matrix (V, width) — used by the captioning
+        decode head (reference xdecoder.py:359,411)."""
+        return self.token_embedding
+
+    def __call__(self, input_ids, attention_mask=None):
+        tok = self.token_embedding
+        pos = self.positional_embedding
         n = input_ids.shape[1]
         x = jnp.take(tok, input_ids, axis=0) + pos[None, :n]
         x = x.astype(self.dtype)
@@ -118,13 +134,10 @@ class TextTransformer(nn.Module):
         elif attention_mask is not None:
             key_padding = attention_mask == 0
 
-        for i in range(self.layers):
-            x = ResidualAttentionBlock(
-                d_model=self.width, n_head=self.heads, dtype=self.dtype,
-                name=f"block{i}",
-            )(x, causal, key_padding)
+        for blk in self.resblocks:
+            x = blk(x, causal, key_padding)
 
-        return TFLayerNorm(name="ln_final")(x)
+        return self.ln_final(x)
 
 
 class LanguageEncoder(nn.Module):

@@ -242,6 +242,40 @@ class SysLearner(nn.Module):
             masks, (b, t, images.shape[1], images.shape[2]), method="bicubic"
         )
 
+    def evaluate_captioning(
+        self, images: jax.Array, steps: int = 50, sot_id: int = 49406
+    ) -> jax.Array:
+        """Autoregressive CLIP-token caption decode (reference
+        XDecoder.forward_captioning, interface/xdecoder.py:331-426): greedy
+        argmax over the token-embedding similarity, re-running the full
+        unified decoder per emitted token, as one jitted lax.scan.
+        Returns (B, contxt_len) token ids."""
+        _, fpn = self.encode_image(images)
+        mask_features, multi_scale = self.pixel_decoder(fpn)
+        b = images.shape[0]
+        ids0 = jnp.full((b, self.cfg.contxt_len), sot_id, jnp.int32)
+        table = self.lang_encoder.lang_encoder.token_table()  # (V, width)
+
+        def step_fn(ids, cap_idx):
+            tok_emb, _ = self.lang_encoder.forward_language_token(ids)
+            out = self.predictor(
+                multi_scale, mask_features, text_embeddings=None,
+                logit_scale=self.lang_encoder.logit_scale,
+                task="vlp", caption_tokens=tok_emb,
+            )
+            logits = out["pred_captionings"].astype(jnp.float32) @ table.T.astype(
+                jnp.float32
+            )  # (B, T, V)
+            cur = jax.lax.dynamic_slice_in_dim(logits, cap_idx, 1, axis=1)[:, 0]
+            nxt = jnp.argmax(cur, -1).astype(jnp.int32)
+            ids = jax.lax.dynamic_update_slice(ids, nxt[:, None], (0, cap_idx + 1))
+            return ids, None
+
+        ids, _ = jax.lax.scan(
+            step_fn, ids0, jnp.arange(min(steps, self.cfg.contxt_len - 1))
+        )
+        return ids
+
     # ------------------------------------------------------------------ #
     # Interactive path (one encode, many decodes)
     # ------------------------------------------------------------------ #

@@ -106,3 +106,14 @@ def test_evaluate_grounding(model_and_params):
         method=SysLearner.evaluate_grounding,
     )
     assert masks.shape == (1, 2, 64, 64)
+
+
+def test_evaluate_captioning(model_and_params):
+    model, params = model_and_params
+    images = jnp.ones((1, 64, 64, 3), jnp.float32)
+    ids = model.apply(
+        params, images, steps=3, sot_id=5, method=SysLearner.evaluate_captioning
+    )
+    assert ids.shape == (1, 7)
+    assert int(ids[0, 0]) == 5
+    assert (np.asarray(ids) >= 0).all()
