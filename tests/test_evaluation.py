@@ -112,3 +112,25 @@ def test_tokenizer_fallback_roundtrip():
     if isinstance(tok, HashWordTokenizer):
         dec = tok.batch_decode(out["input_ids"], skip_special_tokens=True)
         assert "cat" in dec[0]
+
+
+def test_vqa_evaluator():
+    from iuvl_tpu.evaluation.vqa import VQAEvaluator, normalize_answer
+
+    assert normalize_answer("The Dog!") == "dog"
+    assert normalize_answer("Two") == "2"
+    assert normalize_answer("isnt") == "isn't"
+    ev = VQAEvaluator()
+    ev.process("dog", ["dog"] * 5 + ["cat"] * 5)
+    res = ev.evaluate()
+    assert 0 < res["vqa_accuracy"] <= 100
+
+
+def test_noun_phrases():
+    from iuvl_tpu.data.nouns import extract_noun_phrases, noun_prompts
+
+    phrases = extract_noun_phrases("a brown dog is playing with the red ball")
+    assert any("dog" in p for p in phrases)
+    assert any("ball" in p for p in phrases)
+    _, prompts = noun_prompts("a cat on the mat")
+    assert all(p.startswith("a photo of the") for p in prompts)
