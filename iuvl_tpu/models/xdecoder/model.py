@@ -195,6 +195,25 @@ class SysLearner(nn.Module):
         return self._head(fpn, None, "vlp", caption_tokens=caption_tokens,
                           training=True)
 
+    def forward_vlp_train(
+        self, images: jax.Array, caption_ids: jax.Array, caption_mask: jax.Array
+    ) -> dict[str, Any]:
+        """Full VLP training forward (reference forward_vlp:392-436 +
+        prepare_vlp_targets): embed GT caption tokens with the text tower,
+        run the unified head in 'vlp' mode (teacher forcing via the causal
+        caption block of the self-attn mask), and return everything the
+        captioning + retrieval losses need."""
+        token_emb, class_emb = self.lang_encoder.forward_language_token(
+            caption_ids, caption_mask
+        )
+        out = self.forward_vlp(images, token_emb)
+        out["caption_class_emb"] = class_emb  # pooled caption embedding
+        # Raw token table (V, width): the captioning logits use it directly
+        # (reference xdecoder.py:359 — width == dim_proj in shipped configs).
+        out["token_table"] = self.lang_encoder.lang_encoder.token_table()
+        out["logit_scale"] = self.lang_encoder.logit_scale
+        return out
+
     def evaluate_seg(self, images: jax.Array, text_embeddings: jax.Array):
         """Eval forward (reference evaluate:480-543): returns
         (mask_cls (B, Q, K), mask_pred upsampled to input size)."""

@@ -54,6 +54,61 @@ def split_seg_outputs(outputs: dict, num_queries: int, grounding: bool = False):
     return obj, grd
 
 
+def make_joint_train_step(
+    model,
+    criterion: SegCriterion,
+    tx: optax.GradientTransformation,
+    match_points: int = 12544,
+    captioning_weight: float = 2.0,
+    retrieval_weight: float = 2.0,
+    donate: bool = True,
+) -> Callable:
+    """Joint seg + vlp step (reference JointLoader batches, forward routing
+    xdecoder_model.py:281-303). Signature:
+    train_step(state, seg_batch, vlp_batch, text_embeddings, rng) where
+    vlp_batch = dict(images, caption_ids, caption_mask) or None (static)."""
+    from ..losses.grounding import captioning_loss, retrieval_loss
+
+    def loss_fn(params, seg_images, text_embeddings, targets, vlp_batch, rng):
+        losses = {}
+        outputs = model.apply(
+            params, seg_images, text_embeddings, method=type(model).forward_seg
+        )
+        obj, _ = split_seg_outputs(outputs, model.cfg.num_queries)
+        losses.update(criterion(rng, obj, targets, match_points=match_points))
+
+        if vlp_batch is not None:
+            out = model.apply(
+                params, vlp_batch["images"], vlp_batch["caption_ids"],
+                vlp_batch["caption_mask"],
+                method=type(model).forward_vlp_train,
+            )
+            losses["loss_captioning_0"] = captioning_weight * captioning_loss(
+                out["pred_captionings"], out["token_table"],
+                vlp_batch["caption_ids"], vlp_batch["caption_mask"],
+            )
+            losses["loss_retrieval_decoder_0"] = retrieval_weight * retrieval_loss(
+                out["pred_captions"][:, -1], out["caption_class_emb"],
+                out["logit_scale"],
+            )
+        total = sum(losses.values())
+        return total, losses
+
+    def train_step(state: TrainState, seg_images, text_embeddings, targets,
+                   vlp_batch, rng):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, seg_images, text_embeddings, targets, vlp_batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            {"loss_total": total, **losses},
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
 def make_train_step(
     model,
     criterion: SegCriterion,

@@ -53,3 +53,38 @@ def test_shape_sampler():
     assert out["rand_shape"].shape == (2, 32, 32)
     assert len(out["types"]) == 2
     assert all(t in MODES for t in out["types"])
+
+
+def test_vlp_and_instruction_datasets():
+    from iuvl_tpu.data.vlp_datasets import (
+        SyntheticInstructionDataset,
+        SyntheticVlpDataset,
+    )
+    from iuvl_tpu.models.llm.multimodal import IMAGE_TOKEN_INDEX
+
+    ds = SyntheticVlpDataset(image_size=64, length=4)
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    assert item["caption_ids"].shape == (77,)
+    assert item["caption_mask"].sum() > 2
+
+    ins = SyntheticInstructionDataset(image_size=64, length=2)
+    it = ins[0]
+    assert (it["input_ids"] == IMAGE_TOKEN_INDEX).sum() == 1
+    assert (it["labels"] != -100).sum() > 0
+
+
+def test_build_grounding_targets():
+    import jax.numpy as jnp
+    from iuvl_tpu.data.tokenizer import build_tokenizer
+    from iuvl_tpu.data.vlp_datasets import build_grounding_targets
+
+    tok = build_tokenizer()
+    encode = lambda ids, mask: jnp.ones((ids.shape[0], 16), jnp.float32)
+    out = build_grounding_targets(
+        ["a dog next to a red ball", "a cat"], encode, tok, max_phrases=3
+    )
+    assert out["class_embs"].shape == (2, 3, 16)
+    assert out["group_matrix"].shape == (2, 3, 3)
+    assert out["valid"].shape == (2, 3)
+    assert bool(out["valid"][0, 0])
