@@ -109,6 +109,48 @@ def make_interactive_loop(
     return jax.jit(loop)
 
 
+def single_shot_eval(
+    model, params, sam_embedding, gt_masks, prompt_type: str,
+    prompt_masks=None, boxes=None, num_points: int = 8, rng=None,
+    mask_index: int = 0,
+):
+    """Single-shot (non-iterative) variants for box / circle / scribble /
+    polygon prompts (reference evaluate_interactive :769-850): rasterized
+    prompt masks are converted to SAM prompts (boxes stay boxes; stroke
+    masks become up to ``num_points`` positive point prompts), decoded once
+    from the cached embedding. Returns (ious (N,), pred_masks (N, H, W))."""
+    import numpy as np
+
+    n, gh, gw = gt_masks.shape
+    emb = jnp.broadcast_to(sam_embedding, (n, *sam_embedding.shape[1:]))
+    if prompt_type == "box":
+        assert boxes is not None
+        out = model.apply(
+            params, emb, boxes=jnp.asarray(boxes),
+            method=type(model).decode_prompts,
+        )
+    else:
+        assert prompt_masks is not None
+        pts = np.zeros((n, num_points, 2), np.float32)
+        labs = -np.ones((n, num_points), np.int32)
+        rs = np.random.RandomState(0 if rng is None else rng)
+        for i in range(n):
+            ys, xs = np.nonzero(np.asarray(prompt_masks[i]))
+            if len(ys) == 0:
+                continue
+            take = rs.choice(len(ys), size=min(num_points, len(ys)), replace=False)
+            pts[i, : len(take)] = np.stack([xs[take], ys[take]], -1)
+            labs[i, : len(take)] = 1
+        out = model.apply(
+            params, emb, points=jnp.asarray(pts), labels=jnp.asarray(labs),
+            method=type(model).decode_prompts,
+        )
+    logits = out["masks"][:, mask_index]
+    logits = jax.image.resize(logits, (n, gh, gw), method="bicubic")
+    pred = logits > 0
+    return mask_iou(pred, jnp.asarray(gt_masks)), pred
+
+
 def run_interactive_eval(
     model, params, sam_embedding, gt_masks, first_clicks, rng,
     evaluator=None, max_clicks: int = MAX_CLICKS,

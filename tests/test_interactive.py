@@ -56,3 +56,37 @@ def test_loop_with_tiny_model():
     assert out["final_masks"].shape == (2, 64, 64)
     res = ev.evaluate()
     assert "NoC@0.85" in res and "mIoU@5" in res
+
+
+def test_single_shot_variants():
+    from tests.test_syslearner import _tiny_model
+    from iuvl_tpu.models.xdecoder.model import SysLearner
+    from iuvl_tpu.inference.interactive import single_shot_eval
+    from iuvl_tpu.data.visual_sampler import SAMPLERS
+
+    model = _tiny_model()
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    text_emb = jnp.ones((5, 32), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), images, text_emb, method=SysLearner.warmup
+    )
+    sam_emb, _ = model.apply(params, images, method=SysLearner.encode_image)
+
+    gt = np.zeros((1, 64, 64), bool)
+    gt[0, 10:40, 10:40] = True
+
+    # box prompt
+    ious, preds = single_shot_eval(
+        model, params, sam_emb, gt, "box",
+        boxes=np.array([[10.0, 10.0, 40.0, 40.0]]),
+    )
+    assert ious.shape == (1,) and preds.shape == (1, 64, 64)
+
+    # stroke prompts from each rasterizer
+    rng = np.random.RandomState(0)
+    for mode in ("Scribble", "Circle", "Polygon"):
+        pm = SAMPLERS[mode](gt[0], rng)[None]
+        ious, preds = single_shot_eval(
+            model, params, sam_emb, gt, mode.lower(), prompt_masks=pm
+        )
+        assert np.isfinite(np.asarray(ious)).all()
