@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data.class_names import COCO_THING_IDS, get_class_names
-from .data.datasets import batched_iterator, build_dataset
+from .data import batched_iterator, build_dataset  # populates the registry
 from .data.prompts import get_prompt_templates, clean_class_name
 from .data.tokenizer import build_tokenizer
 from .evaluation import SemSegEvaluator
