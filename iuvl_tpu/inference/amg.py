@@ -1,0 +1,108 @@
+"""Automatic mask generation (SAM 'segment everything').
+
+Parity target: /root/reference/sam/utils/amg.py — point grids
+(build_all_layer_point_grids :189, the only function the reference model
+imports), stability score, and the AMG pipeline pieces (batched point-grid
+decode, quality filtering, mask NMS). The batched decode runs as jitted
+prompt batches from a cached embedding (one-encode/many-decode); filtering
+and NMS are small host-side numpy passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_point_grid(n_per_side: int) -> np.ndarray:
+    """(n^2, 2) normalized [0,1] xy grid at cell centers
+    (reference amg.py build_point_grid)."""
+    offset = 1.0 / (2 * n_per_side)
+    pts = np.linspace(offset, 1.0 - offset, n_per_side)
+    gx, gy = np.meshgrid(pts, pts)
+    return np.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+
+
+def build_all_layer_point_grids(
+    n_per_side: int, n_layers: int, scale_per_layer: int
+) -> list[np.ndarray]:
+    """Reference amg.py:189: one grid per crop layer, scaled down per layer."""
+    return [
+        build_point_grid(int(n_per_side / (scale_per_layer ** i)))
+        for i in range(n_layers + 1)
+    ]
+
+
+def stability_score(mask_logits: np.ndarray, threshold_offset: float = 1.0) -> np.ndarray:
+    """IoU between masks thresholded at +-offset around 0
+    (reference amg.py calculate_stability_score). mask_logits (N, H, W)."""
+    hi = (mask_logits > threshold_offset).reshape(len(mask_logits), -1).sum(-1)
+    lo = (mask_logits > -threshold_offset).reshape(len(mask_logits), -1).sum(-1)
+    return hi / np.maximum(lo, 1)
+
+
+def mask_nms(masks: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.7):
+    """Greedy mask NMS by score. masks (N, H, W) bool. Returns kept indices."""
+    order = np.argsort(-scores)
+    flat = masks.reshape(len(masks), -1).astype(np.float64)
+    areas = flat.sum(-1)
+    kept: list[int] = []
+    suppressed = np.zeros(len(masks), bool)
+    for i in order:
+        if suppressed[i] or areas[i] == 0:
+            continue
+        kept.append(int(i))
+        inter = flat[i] @ flat.T
+        union = areas[i] + areas - inter
+        iou = inter / np.maximum(union, 1)
+        suppressed |= iou > iou_thresh
+        suppressed[i] = True
+    return np.asarray(kept, np.int64)
+
+
+def generate_masks(
+    model, params, image, points_per_side: int = 32, batch: int = 64,
+    pred_iou_thresh: float = 0.88, stability_thresh: float = 0.95,
+    nms_thresh: float = 0.7,
+):
+    """Full AMG over one image: encode once, decode the point grid in
+    prompt batches, filter by predicted IoU + stability, NMS.
+    Returns dict(masks (K, H', W') bool, scores (K,))."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = image.shape[1:3]
+    sam_emb, _ = model.apply(params, image, method=type(model).encode_image)
+    grid = build_point_grid(points_per_side) * np.asarray([w, h])
+
+    decode = jax.jit(
+        lambda p, emb, pts, labs: model.apply(
+            p, emb, points=pts, labels=labs, method=type(model).decode_prompts
+        )["masks"]
+    )
+    all_logits, all_iou = [], []
+    emb_tiled = jnp.broadcast_to(sam_emb, (batch, *sam_emb.shape[1:]))
+    for start in range(0, len(grid), batch):
+        chunk = grid[start : start + batch]
+        pts = np.zeros((batch, 1, 2), np.float32)
+        pts[: len(chunk), 0] = chunk
+        out = model.apply(
+            params, emb_tiled, points=jnp.asarray(pts),
+            labels=jnp.ones((batch, 1), jnp.int32),
+            method=type(model).decode_prompts,
+        )
+        logits = np.asarray(out["masks"][: len(chunk), 0])
+        all_logits.append(logits)
+        all_iou.append(np.asarray(out["iou_pred"][: len(chunk), 0]))
+    logits = np.concatenate(all_logits)
+    iou_pred = np.concatenate(all_iou)
+
+    keep = iou_pred > pred_iou_thresh
+    stab = stability_score(logits)
+    keep &= stab > stability_thresh
+    logits = logits[keep]
+    scores = iou_pred[keep]
+    masks = logits > 0
+    if len(masks) == 0:
+        return {"masks": masks, "scores": scores}
+    kept = mask_nms(masks, scores, nms_thresh)
+    return {"masks": masks[kept], "scores": scores[kept]}

@@ -1,0 +1,84 @@
+import numpy as np
+import jax.numpy as jnp
+
+from iuvl_tpu.inference.amg import (
+    build_all_layer_point_grids,
+    build_point_grid,
+    mask_nms,
+    stability_score,
+)
+from iuvl_tpu.ops.boxes import (
+    box_cxcywh_to_xyxy,
+    box_iou,
+    box_xyxy_to_cxcywh,
+    generalized_box_iou,
+    masks_to_boxes,
+)
+from iuvl_tpu.utils.visualizer import (
+    draw_boxes,
+    draw_instances,
+    draw_points,
+    draw_sem_seg,
+    overlay_mask,
+)
+
+
+def test_box_conversions_roundtrip():
+    b = jnp.asarray([[10.0, 20.0, 30.0, 60.0]])
+    np.testing.assert_allclose(
+        np.asarray(box_cxcywh_to_xyxy(box_xyxy_to_cxcywh(b))), np.asarray(b),
+        atol=1e-5,
+    )
+
+
+def test_box_iou_and_giou():
+    a = jnp.asarray([[0.0, 0.0, 2.0, 2.0]])
+    b = jnp.asarray([[1.0, 1.0, 3.0, 3.0], [0.0, 0.0, 2.0, 2.0]])
+    iou, _ = box_iou(a, b)
+    np.testing.assert_allclose(np.asarray(iou), [[1 / 7, 1.0]], atol=1e-6)
+    giou = generalized_box_iou(a, b)
+    assert float(giou[0, 1]) == 1.0
+    assert float(giou[0, 0]) < float(iou[0, 0])
+
+
+def test_masks_to_boxes():
+    m = np.zeros((2, 8, 8), bool)
+    m[0, 2:5, 3:7] = True
+    boxes = np.asarray(masks_to_boxes(jnp.asarray(m)))
+    np.testing.assert_allclose(boxes[0], [3, 2, 7, 5])
+    np.testing.assert_allclose(boxes[1], [0, 0, 0, 0])
+
+
+def test_point_grids():
+    g = build_point_grid(4)
+    assert g.shape == (16, 2)
+    assert 0 < g.min() and g.max() < 1
+    layers = build_all_layer_point_grids(32, 2, 2)
+    assert [len(x) for x in layers] == [1024, 256, 64]
+
+
+def test_stability_and_nms():
+    logits = np.full((2, 8, 8), -5.0)
+    logits[0, :4] = 5.0  # very stable mask
+    logits[1, :4] = 0.5  # marginal mask (same region)
+    s = stability_score(logits)
+    assert s[0] > 0.99 and s[1] < 0.5
+    masks = logits > 0
+    kept = mask_nms(masks, np.array([0.9, 0.8]), iou_thresh=0.7)
+    assert kept.tolist() == [0]
+
+
+def test_visualizer_shapes():
+    img = np.zeros((32, 32, 3), np.uint8)
+    m = np.zeros((32, 32), bool)
+    m[4:12, 4:12] = True
+    out = overlay_mask(img, m)
+    assert out.shape == img.shape and out[6, 6].sum() > 0
+    out = draw_instances(img, np.stack([m, ~m]))
+    assert out.shape == img.shape
+    out = draw_sem_seg(img, m.astype(int), num_classes=2)
+    assert out.shape == img.shape
+    out = draw_boxes(img, np.array([[4, 4, 12, 12]]))
+    assert (out[4, 4:12] > 0).any()
+    out = draw_points(img, np.array([[16, 16]]), [1])
+    assert (out[16, 16] > 0).any()
