@@ -1,0 +1,120 @@
+"""Evaluation dataset loaders: ADE20K semantic, PASCAL VOC interactive.
+
+Role of /root/reference/datasets/registration/register_ade20k_*.py and
+register_pascalvoc_eval.py (:61-81): semantic-seg PNG annotation loaders
+and the interactive-eval split (per-instance masks + a sampled visual
+prompt per instance). Real data under $DATASET with the standard layouts;
+synthetic stand-ins keep eval paths runnable.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any
+
+import numpy as np
+
+from .datasets import dataset_root, register_dataset
+from .transforms import pad_to_square, resize_longest_side
+from .visual_sampler import ShapeSampler
+
+
+class Ade20kSemSegDataset:
+    """ADEChallengeData2016 layout: images/validation/*.jpg +
+    annotations/validation/*.png (label ids 1..150; 0 = ignore)."""
+
+    def __init__(self, root: str, split="validation", image_size=1024):
+        self.image_size = image_size
+        base = os.path.join(root, "ADEChallengeData2016")
+        self.images = sorted(glob.glob(os.path.join(base, "images", split, "*.jpg")))
+        self.ann_dir = os.path.join(base, "annotations", split)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i: int) -> dict[str, Any]:
+        from PIL import Image
+
+        img_path = self.images[i]
+        ann_path = os.path.join(
+            self.ann_dir, os.path.basename(img_path).replace(".jpg", ".png")
+        )
+        image = np.asarray(Image.open(img_path).convert("RGB"))
+        sem = np.asarray(Image.open(ann_path), np.int32)
+        h, w = image.shape[:2]
+        image = pad_to_square(
+            resize_longest_side(image, self.image_size), self.image_size
+        ).astype(np.float32)
+        # Labels: 0 -> ignore(255); 1..150 -> 0..149.
+        sem = np.where(sem == 0, 255, sem - 1)
+        return {
+            "image": image, "sem_seg": sem, "height": h, "width": w,
+        }
+
+
+@register_dataset("ade20k_panoptic_val")
+@register_dataset("ade20k_sem_seg_val")
+def _build_ade(cfg, split):
+    root = dataset_root()
+    if root is None:
+        raise FileNotFoundError("$DATASET not set; ADE20K unavailable.")
+    return Ade20kSemSegDataset(root)
+
+
+class PascalVocInteractiveDataset:
+    """VOC2012 SegmentationObject layout -> per-instance masks + one sampled
+    visual prompt each (reference pascalvoc_dataset_mapper_ix.py:133-182)."""
+
+    def __init__(self, root: str, image_size=1024, prompt_mode="Point",
+                 max_instances=8, seed=0):
+        base = os.path.join(root, "VOCdevkit", "VOC2012")
+        split_file = os.path.join(
+            base, "ImageSets", "Segmentation", "val.txt"
+        )
+        with open(split_file) as f:
+            self.ids = [line.strip() for line in f if line.strip()]
+        self.base = base
+        self.image_size = image_size
+        self.max_instances = max_instances
+        self.sampler = ShapeSampler(
+            max_candidate=max_instances, modes=(prompt_mode,), seed=seed
+        )
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, i: int) -> dict[str, Any]:
+        from PIL import Image
+
+        iid = self.ids[i]
+        image = np.asarray(
+            Image.open(os.path.join(self.base, "JPEGImages", f"{iid}.jpg")).convert("RGB")
+        )
+        obj = np.asarray(
+            Image.open(os.path.join(self.base, "SegmentationObject", f"{iid}.png"))
+        )
+        inst_ids = [v for v in np.unique(obj) if v not in (0, 255)]
+        masks = np.stack(
+            [obj == v for v in inst_ids[: self.max_instances]]
+        ) if inst_ids else np.zeros((0, *obj.shape), bool)
+        prompts = self.sampler(masks)
+        image = pad_to_square(
+            resize_longest_side(image, self.image_size), self.image_size
+        ).astype(np.float32)
+        return {
+            "image": image,
+            "gt_masks": masks,
+            "spatial_query": prompts,
+            "height": obj.shape[0],
+            "width": obj.shape[1],
+        }
+
+
+@register_dataset("pascalvoc_val")
+def _build_voc(cfg, split):
+    root = dataset_root()
+    if root is None:
+        raise FileNotFoundError("$DATASET not set; PASCAL VOC unavailable.")
+    mode = cfg.get("PROMPT_MODE", "Point")
+    return PascalVocInteractiveDataset(root, prompt_mode=mode)

@@ -98,6 +98,94 @@ def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
 
 
+def beam_generate(
+    model, params, inputs_embeds: jax.Array, attention_mask: jax.Array,
+    max_new_tokens: int = 32, num_beams: int = 5, eos_id: int = 2,
+    length_penalty: float = 1.0,
+):
+    """Jitted beam search (the reference generates with num_beams=5,
+    xdecoder_model.py:611-617). Beams ride the batch dimension of one
+    shared KV cache; one lax.scan step expands all beams and reselects the
+    top-k by accumulated (length-penalized) log prob. Returns
+    (B, max_new_tokens) tokens of the best beam."""
+    b, prompt_len, d = inputs_embeds.shape
+    k = num_beams
+    c = model.cfg
+
+    logits, caches = model.apply(
+        params, inputs_embeds, attention_mask, method=type(model).prefill
+    )
+    logp0 = jax.nn.log_softmax(logits, -1)  # (B, V)
+    v = logp0.shape[-1]
+    top_lp, top_tok = jax.lax.top_k(logp0, k)  # (B, k)
+
+    # Tile caches/beams: (B*k, ...)
+    def tile(x):
+        return jnp.repeat(x, k, axis=0)
+
+    caches = [
+        {"k": tile(cc["k"]), "v": tile(cc["v"]), "offset": cc["offset"]}
+        for cc in caches
+    ]
+    pad_mask = jnp.pad(
+        attention_mask == 0, ((0, 0), (0, c.max_seq_len - prompt_len)),
+        constant_values=False,
+    )
+    pad_mask = tile(pad_mask)
+
+    beam_scores = top_lp.reshape(b * k)  # (B*k,)
+    cur_tok = top_tok.reshape(b * k)
+    finished = jnp.zeros((b * k,), bool)
+    tokens0 = jnp.zeros((b * k, max_new_tokens), jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(cur_tok)
+
+    def step(carry, i):
+        tokens, cur_tok, beam_scores, finished, caches = carry
+        emb = model.apply(params, cur_tok[:, None], method=type(model).embed)
+        logits, caches = model.apply(
+            params, emb, caches, prompt_len + i + 1, pad_mask,
+            method=type(model).decode_step,
+        )
+        logp = jax.nn.log_softmax(logits, -1)  # (B*k, V)
+        # Finished beams only extend with eos at no cost.
+        frozen = jnp.full_like(logp, -1e9).at[:, eos_id].set(0.0)
+        logp = jnp.where(finished[:, None], frozen, logp)
+        cand = beam_scores[:, None] + logp  # (B*k, V)
+        cand = cand.reshape(b, k * v)
+        new_scores, flat_idx = jax.lax.top_k(cand, k)  # (B, k)
+        beam_idx = flat_idx // v + jnp.arange(b)[:, None] * k  # into B*k
+        new_tok = (flat_idx % v).astype(jnp.int32)
+
+        beam_idx = beam_idx.reshape(b * k)
+        tokens = jnp.take(tokens, beam_idx, axis=0)
+        tokens = tokens.at[:, i + 1].set(new_tok.reshape(b * k))
+        finished = jnp.take(finished, beam_idx, axis=0) | (
+            new_tok.reshape(b * k) == eos_id
+        )
+        caches = [
+            {
+                "k": jnp.take(cc["k"], beam_idx, axis=0),
+                "v": jnp.take(cc["v"], beam_idx, axis=0),
+                "offset": cc["offset"],
+            }
+            for cc in caches
+        ]
+        return (
+            tokens, new_tok.reshape(b * k), new_scores.reshape(b * k),
+            finished, caches,
+        ), None
+
+    (tokens, _, beam_scores, _, _), _ = jax.lax.scan(
+        step, (tokens0, cur_tok, beam_scores, finished, caches),
+        jnp.arange(max_new_tokens - 1),
+    )
+    lengths = jnp.argmax(tokens == eos_id, axis=1)
+    lengths = jnp.where((tokens == eos_id).any(1), lengths + 1, max_new_tokens)
+    norm = beam_scores / (lengths.astype(jnp.float32) ** length_penalty)
+    best = jnp.argmax(norm.reshape(b, k), axis=1) + jnp.arange(b) * k
+    return jnp.take(tokens, best, axis=0)
+
+
 def greedy_generate(
     model, params, inputs_embeds: jax.Array, attention_mask: jax.Array,
     max_new_tokens: int = 64, eos_id: int = 2,

@@ -36,6 +36,7 @@ class SamConfig:
     window_size: int = 14
     dtype: str = "float32"
     attn_impl: str = "xla"
+    remat: bool = False
 
     @property
     def grid(self) -> int:
@@ -79,6 +80,7 @@ class Sam(nn.Module):
             global_attn_indexes=tuple(c.global_attn_indexes),
             dtype=dtype,
             attn_impl=c.attn_impl,
+            remat=c.remat,
         )
         self.prompt_encoder = PromptEncoder(
             embed_dim=c.prompt_embed_dim,

@@ -220,6 +220,7 @@ class ImageEncoderViT(nn.Module):
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, dict[str, jax.Array]]:
@@ -246,8 +247,9 @@ class ImageEncoderViT(nn.Module):
             )
         x = x + pos_embed.astype(x.dtype)
 
+        block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
-            x = Block(
+            x = block_cls(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,

@@ -55,6 +55,7 @@ class SysLearnerConfig:
     llm_dim: int = 0  # 0 disables the LLM projector; 4096 for Vicuna-7B
     dtype: str = "float32"
     attn_impl: str = "xla"  # SAM windowed attention implementation
+    remat: bool = False
     msdeform_impl: str = "xla"
 
     @property
@@ -67,6 +68,7 @@ class SysLearnerConfig:
             img_size=self.img_size,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
         )
 
 
@@ -88,6 +90,7 @@ class SysLearner(nn.Module):
             global_attn_indexes=tuple(sam_cfg.global_attn_indexes),
             dtype=dtype,
             attn_impl=c.attn_impl,
+            remat=sam_cfg.remat,
         )
         self.prompt_encoder = PromptEncoder(
             embed_dim=sam_cfg.prompt_embed_dim,

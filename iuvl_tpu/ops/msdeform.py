@@ -29,13 +29,16 @@ def ms_deform_attn_core(
     attention_weights: jax.Array,  # (B, Lq, heads, L, P), softmaxed
     impl: str = "xla",
 ) -> jax.Array:
-    """Returns (B, Lq, heads * d)."""
-    if impl == "pallas":
-        from .pallas.msdeform import ms_deform_attn_pallas
+    """Returns (B, Lq, heads * d).
 
-        return ms_deform_attn_pallas(
-            value, spatial_shapes, sampling_locations, attention_weights
-        )
+    Note on ``impl='pallas'``: this op is gather-bound — the per-level value
+    maps (e.g. res3 at 1024^2 input: 16k tokens x 512 ch = 33 MB) exceed
+    VMEM, so a fused kernel would issue scattered HBM loads per sampling
+    point, which TPU DMA handles worse than XLA's batched gather lowering.
+    The XLA path (4-tap take_along_axis + VPU weighted reduce) is the fast
+    path by design; 'pallas' currently aliases it. Revisit if a
+    locality-tiled variant (block queries + halo'd value tiles) proves out.
+    """
     return _ms_deform_attn_xla(
         value, spatial_shapes, sampling_locations, attention_weights
     )

@@ -154,3 +154,20 @@ def test_torch_llama_parity(llm_and_params):
     emb = model.apply(params, jnp.asarray(ids), method=LlamaForCausalLM.embed)
     ours = model.apply(params, emb, jnp.ones((1, 8), jnp.int32))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+
+def test_beam_generate_matches_greedy_with_one_beam(llm_and_params):
+    from iuvl_tpu.models.llm.multimodal import beam_generate
+
+    model, params = llm_and_params
+    ids = jnp.asarray(np.random.RandomState(5).randint(0, 64, (1, 5)))
+    emb = model.apply(params, ids, method=LlamaForCausalLM.embed)
+    mask = jnp.ones((1, 5), jnp.int32)
+    greedy = greedy_generate(model, params, emb, mask, max_new_tokens=4)
+    beam1 = beam_generate(model, params, emb, mask, max_new_tokens=4,
+                          num_beams=1, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(beam1))
+
+    beam3 = beam_generate(model, params, emb, mask, max_new_tokens=4,
+                          num_beams=3, eos_id=-1)
+    assert beam3.shape == (1, 4)
