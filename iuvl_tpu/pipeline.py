@@ -127,17 +127,33 @@ class XDecoderPipeline:
 
     # ------------------------------------------------------------------ #
     def evaluate_model(self, params, batch_size: int = 1, max_batches=None):
-        """Eval loop over DATASETS.TEST[0] (semantic path). Returns metric
-        dict (reference XDecoderPipeline.evaluate_model:104-153)."""
+        """Eval loop over DATASETS.TEST[0]: semantic always, plus panoptic
+        PQ and instance AP when the dataset switches enable them
+        (reference XDecoderPipeline.evaluate_model:104-153 + the per-mode
+        inference heads of xdecoder_model.evaluate)."""
+        from .evaluation import InstanceAPEvaluator, PanopticEvaluator
+        from .inference.postprocess import instance_inference
+
         name, loader = self.get_dataloaders("val", batch_size, is_evaluation=True)
         switches = hook_switcher(name)
         text_emb = self.class_text_embeddings(params, name, is_eval=True)
         num_classes = text_emb.shape[0] - 1
+        thing_ids = COCO_THING_IDS if "coco" in name else set(range(num_classes))
         evaluator = SemSegEvaluator(num_classes=num_classes)
+        pan_eval = PanopticEvaluator(thing_ids=thing_ids)
+        inst_eval = InstanceAPEvaluator(num_classes=num_classes)
+        thing_mask = jnp.asarray(
+            [i in thing_ids for i in range(num_classes)]
+        )
 
         eval_fn = jax.jit(
             lambda p, img, t: self.model.apply(
                 p, img, t, method=SysLearner.evaluate_seg
+            )
+        )
+        inst_fn = jax.jit(
+            lambda cls, pred: instance_inference(
+                cls, pred, topk=100, thing_mask=thing_mask
             )
         )
         for i, batch in enumerate(loader):
@@ -148,14 +164,57 @@ class XDecoderPipeline:
             )
             sem = jax.vmap(semantic_inference)(mask_cls, mask_pred)
             pred = np.asarray(jnp.argmax(sem, axis=1))
-            if "masks" in batch:
-                # Build gt semantic map from instance masks.
-                for b in range(pred.shape[0]):
-                    gt = np.full(pred.shape[1:], 255, np.int64)
-                    scale = pred.shape[1] // batch["masks"].shape[2]
-                    for k in range(batch["masks"].shape[1]):
-                        if batch["valid"][b, k]:
-                            m = batch["masks"][b, k].repeat(scale, 0).repeat(scale, 1)
-                            gt[m > 0.5] = batch["labels"][b, k]
-                    evaluator.process(pred[b], gt)
-        return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
+            for b in range(pred.shape[0]):
+                gt_sem, gt_masks, gt_labels = self._gt_from_batch(batch, b, pred.shape[1:])
+                if gt_sem is None:
+                    continue
+                evaluator.process(pred[b], gt_sem)
+                if switches.get("panoptic_on"):
+                    pan_seg, segs = panoptic_merge(
+                        np.asarray(mask_cls[b]), np.asarray(mask_pred[b]),
+                        thing_ids=thing_ids, object_mask_threshold=0.0,
+                    )
+                    gt_pan, gt_segs = self._gt_panoptic(gt_masks, gt_labels)
+                    pan_eval.process(pan_seg, segs, gt_pan, gt_segs)
+                if switches.get("instance_on") and gt_masks is not None:
+                    inst = jax.device_get(inst_fn(mask_cls[b], mask_pred[b]))
+                    keep = inst["valid"] & (inst["scores"] > 0)
+                    inst_eval.process(
+                        inst["pred_masks"][keep], inst["scores"][keep],
+                        inst["pred_classes"][keep], gt_masks, gt_labels,
+                    )
+        out = {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
+        if switches.get("panoptic_on"):
+            out.update({f"{name}/{k}": v for k, v in pan_eval.evaluate().items()})
+        if switches.get("instance_on"):
+            out.update({f"{name}/{k}": v for k, v in inst_eval.evaluate().items()})
+        return out
+
+    @staticmethod
+    def _gt_from_batch(batch, b, out_hw):
+        """Instance-mask batch -> (semantic map, upsampled masks, labels)."""
+        if "masks" not in batch:
+            return None, None, None
+        gt = np.full(out_hw, 255, np.int64)
+        scale = out_hw[0] // batch["masks"].shape[2]
+        masks, labels = [], []
+        for k in range(batch["masks"].shape[1]):
+            if batch["valid"][b, k]:
+                m = batch["masks"][b, k].repeat(scale, 0).repeat(scale, 1) > 0.5
+                gt[m] = batch["labels"][b, k]
+                masks.append(m)
+                labels.append(int(batch["labels"][b, k]))
+        if not masks:
+            return gt, np.zeros((0, *out_hw), bool), np.zeros(0, np.int64)
+        return gt, np.stack(masks), np.asarray(labels)
+
+    @staticmethod
+    def _gt_panoptic(gt_masks, gt_labels):
+        if gt_masks is None or len(gt_masks) == 0:
+            return np.zeros((1, 1), np.int32), []
+        pan = np.zeros(gt_masks.shape[1:], np.int32)
+        segs = []
+        for i, (m, lab) in enumerate(zip(gt_masks, gt_labels)):
+            pan[m] = i + 1
+            segs.append({"id": i + 1, "category_id": int(lab)})
+        return pan, segs
