@@ -146,6 +146,83 @@ def _build_refcocog(cfg, split):
     return RefCocoDataset(root, split="val")
 
 
+class SyntheticRefDataset:
+    """Referring-expression smoke stream: rectangle target + phrase."""
+
+    def __init__(self, image_size=64, length=8, seed=0, tokenizer=None):
+        self.image_size = image_size
+        self.length = length
+        self.seed = seed
+        self.tokenizer = tokenizer or build_tokenizer()
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i: int):
+        rs = np.random.RandomState(self.seed * 31 + i)
+        s = self.image_size
+        image = (rs.rand(s, s, 3) * 255).astype(np.float32)
+        y0, x0 = rs.randint(0, s // 2, 2)
+        y1, x1 = rs.randint(s // 2, s, 2)
+        mask = np.zeros((s, s), bool)
+        mask[y0:y1, x0:x1] = True
+        texts = ["the red box on the left"]
+        toks = self.tokenizer(texts)
+        return {
+            "image": image, "texts": texts,
+            "text_ids": toks["input_ids"], "text_mask": toks["attention_mask"],
+            "gt_mask": mask, "height": s, "width": s,
+        }
+
+
+@register_dataset("synthetic_refcoco")
+def _build_synth_ref(cfg, split):
+    return SyntheticRefDataset(
+        image_size=cfg.get("IMAGE_SIZE", 64), length=cfg.get("LENGTH", 8)
+    )
+
+
+class SyntheticInteractiveDataset:
+    """Interactive-eval smoke stream: instances + point prompts."""
+
+    def __init__(self, image_size=64, length=8, max_instances=2, seed=0):
+        from .visual_sampler import ShapeSampler
+
+        self.image_size = image_size
+        self.length = length
+        self.max_instances = max_instances
+        self.sampler = ShapeSampler(
+            max_candidate=max_instances, modes=("Point",), seed=seed
+        )
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i: int):
+        rs = np.random.RandomState(self.seed * 17 + i)
+        s = self.image_size
+        image = (rs.rand(s, s, 3) * 255).astype(np.float32)
+        masks = np.zeros((self.max_instances, s, s), bool)
+        for k in range(self.max_instances):
+            y0, x0 = rs.randint(0, s // 2, 2)
+            y1 = rs.randint(y0 + s // 4, s)
+            x1 = rs.randint(x0 + s // 4, s)
+            masks[k, y0:y1, x0:x1] = True
+        return {
+            "image": image, "gt_masks": masks,
+            "spatial_query": self.sampler(masks),
+            "height": s, "width": s,
+        }
+
+
+@register_dataset("synthetic_interactive")
+def _build_synth_interactive(cfg, split):
+    return SyntheticInteractiveDataset(
+        image_size=cfg.get("IMAGE_SIZE", 64), length=cfg.get("LENGTH", 8)
+    )
+
+
 class SyntheticInstructionDataset:
     """Conversation stream with <image> token (instruction tuning)."""
 

@@ -32,7 +32,7 @@ def hook_switcher(dataset_name: str) -> dict[str, bool]:
     if "refcoco" in n:
         return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
                 "mode": "grounding"}
-    if "pascalvoc" in n or "point" in n:
+    if "pascalvoc" in n or "point" in n or "interactive" in n:
         return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
                 "mode": "interactive"}
     if "ade" in n and "panoptic" not in n:
@@ -136,6 +136,10 @@ class XDecoderPipeline:
 
         name, loader = self.get_dataloaders("val", batch_size, is_evaluation=True)
         switches = hook_switcher(name)
+        if switches["mode"] == "grounding":
+            return self._evaluate_grounding(params, name, max_batches)
+        if switches["mode"] == "interactive":
+            return self._evaluate_interactive(params, name, max_batches)
         text_emb = self.class_text_embeddings(params, name, is_eval=True)
         num_classes = text_emb.shape[0] - 1
         thing_ids = COCO_THING_IDS if "coco" in name else set(range(num_classes))
@@ -189,6 +193,83 @@ class XDecoderPipeline:
         if switches.get("instance_on"):
             out.update({f"{name}/{k}": v for k, v in inst_eval.evaluate().items()})
         return out
+
+    # ------------------------------------------------------------------ #
+    def _evaluate_grounding(self, params, name, max_batches=None):
+        """Referring-segmentation eval (reference evaluate_grounding +
+        grounding_evaluation.py): per phrase, run the grounding head and
+        score the selected mask against gt."""
+        from .data.datasets import build_dataset
+        from .evaluation import GroundingEvaluator
+
+        ds = build_dataset(name, self.cfg.get(name.upper(), {}), "val")
+        evaluator = GroundingEvaluator()
+        tok_fn = jax.jit(
+            lambda p, ids, m: self.model.apply(
+                p, ids, m, method=SysLearner.encode_text_tokens
+            )
+        )
+        ground_fn = jax.jit(
+            lambda p, img, gt, gv, ce: self.model.apply(
+                p, img, gt, gv, ce, method=SysLearner.evaluate_grounding
+            )
+        )
+        n = len(ds) if max_batches is None else min(len(ds), max_batches)
+        for i in range(n):
+            item = ds[i]
+            ids = jnp.asarray(item["text_ids"])
+            msk = jnp.asarray(item["text_mask"])
+            token_emb, class_emb = tok_fn(params, ids, msk)
+            # Grounding tokens: per-token embeddings of the (first) phrase,
+            # masked to real tokens (reference evaluate_grounding:645-649).
+            valid = msk[0].astype(bool)
+            gtok = token_emb[0][None]  # (1, 77, C)
+            masks = ground_fn(
+                params,
+                jnp.asarray(item["image"])[None],
+                gtok,
+                valid[None],
+                class_emb[None, :1],
+            )
+            pred = np.asarray(masks[0, 0] > 0)
+            gt = np.asarray(item["gt_mask"])
+            if gt.shape != pred.shape:
+                gt_r = np.zeros(pred.shape, bool)
+                gt_r[: gt.shape[0], : gt.shape[1]] = gt[: pred.shape[0], : pred.shape[1]]
+                gt = gt_r
+            evaluator.process(pred, gt)
+        return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
+
+    def _evaluate_interactive(self, params, name, max_batches=None):
+        """Click-refinement NoC eval (reference evaluate_interactive +
+        interactive_evaluation.py)."""
+        from .data.datasets import build_dataset
+        from .evaluation import InteractiveEvaluator
+        from .inference.interactive import run_interactive_eval
+
+        ds = build_dataset(name, self.cfg.get(name.upper(), {}), "val")
+        max_clicks = self.cfg.get("MAX_CLICKS", 20)
+        evaluator = InteractiveEvaluator(max_clicks=max_clicks)
+        encode_fn = jax.jit(
+            lambda p, img: self.model.apply(p, img, method=SysLearner.encode_image)
+        )
+        n = len(ds) if max_batches is None else min(len(ds), max_batches)
+        for i in range(n):
+            item = ds[i]
+            sam_emb, _ = encode_fn(params, jnp.asarray(item["image"])[None])
+            gt = jnp.asarray(item["gt_masks"])
+            # First click: a random prompt pixel per instance.
+            firsts = []
+            for m in np.asarray(item["spatial_query"]["rand_shape"]):
+                ys, xs = np.nonzero(m)
+                firsts.append([xs[0], ys[0]] if len(ys) else [0, 0])
+            run_interactive_eval(
+                self.model, params, sam_emb, gt,
+                jnp.asarray(np.asarray(firsts, np.float32)),
+                jax.random.PRNGKey(i), evaluator=evaluator,
+                max_clicks=max_clicks,
+            )
+        return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
 
     @staticmethod
     def _gt_from_batch(batch, b, out_hw):
