@@ -2,7 +2,7 @@
 
 Protocol: one 1024x1024 image is encoded once (ViT-B, bf16), then 1024
 point prompts (the 32x32 automatic-mask-generation grid) are decoded in
-prompt-batches of 64 through the prompt encoder + two-way mask decoder.
+prompt-batches of 256 through the prompt encoder + two-way mask decoder.
 masks/sec = prompts / (encode_time + total_decode_time) — the amortized
 cost per mask of the one-encode/many-decode interactive path.
 
@@ -32,7 +32,7 @@ def main():
     model = Sam(cfg=cfg)
 
     n_prompts = 1024
-    chunk = 64
+    chunk = 256
 
     images0 = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
     pts1 = jnp.zeros((1, 1, 2), jnp.float32)
