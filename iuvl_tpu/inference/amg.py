@@ -40,6 +40,63 @@ def stability_score(mask_logits: np.ndarray, threshold_offset: float = 1.0) -> n
     return hi / np.maximum(lo, 1)
 
 
+def mask_to_rle(mask: np.ndarray) -> dict:
+    """Uncompressed COCO RLE (column-major, like pycocotools / reference
+    amg.py mask_to_rle_pytorch)."""
+    h, w = mask.shape
+    flat = np.asarray(mask, bool).T.reshape(-1)  # fortran order
+    # run lengths, starting with a 0-run (count of leading zeros)
+    change = np.nonzero(flat[1:] != flat[:-1])[0] + 1
+    idx = np.concatenate([[0], change, [len(flat)]])
+    counts = np.diff(idx).tolist()
+    if flat[0]:
+        counts = [0] + counts
+    return {"size": [h, w], "counts": counts}
+
+
+def rle_to_mask(rle: dict) -> np.ndarray:
+    """Inverse of mask_to_rle."""
+    h, w = rle["size"]
+    flat = np.zeros(h * w, bool)
+    pos = 0
+    val = False
+    for c in rle["counts"]:
+        flat[pos : pos + c] = val
+        pos += c
+        val = not val
+    return flat.reshape(w, h).T
+
+
+def generate_crop_boxes(
+    im_size: tuple[int, int], n_layers: int, overlap_ratio: float = 512 / 1500
+):
+    """Multi-layer crop boxes for AMG (reference amg.py generate_crop_boxes):
+    layer 0 = full image; layer i has (2^i)^2 overlapping crops.
+    Returns (boxes xyxy, layer indices)."""
+    h, w = im_size
+    boxes = [[0, 0, w, h]]
+    layers = [0]
+    short = min(h, w)
+    for layer in range(1, n_layers + 1):
+        n = 2 ** layer
+        overlap = int(overlap_ratio * short * (2 / n))
+        cw = int(math_ceil((overlap * (n - 1) + w) / n))
+        ch = int(math_ceil((overlap * (n - 1) + h) / n))
+        xs = [int((cw - overlap) * i) for i in range(n)]
+        ys = [int((ch - overlap) * i) for i in range(n)]
+        for y0 in ys:
+            for x0 in xs:
+                boxes.append([x0, y0, min(x0 + cw, w), min(y0 + ch, h)])
+                layers.append(layer)
+    return boxes, layers
+
+
+def math_ceil(x: float) -> int:
+    import math
+
+    return math.ceil(x)
+
+
 def mask_nms(masks: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.7):
     """Greedy mask NMS by score. masks (N, H, W) bool. Returns kept indices."""
     order = np.argsort(-scores)

@@ -82,3 +82,56 @@ def test_visualizer_shapes():
     assert (out[4, 4:12] > 0).any()
     out = draw_points(img, np.array([[16, 16]]), [1])
     assert (out[16, 16] > 0).any()
+
+
+def test_rle_roundtrip():
+    from iuvl_tpu.inference.amg import mask_to_rle, rle_to_mask
+
+    rs = np.random.RandomState(0)
+    mask = rs.rand(13, 17) > 0.6
+    rle = mask_to_rle(mask)
+    assert rle["size"] == [13, 17]
+    np.testing.assert_array_equal(rle_to_mask(rle), mask)
+    # empty + full masks
+    for m in (np.zeros((4, 4), bool), np.ones((4, 4), bool)):
+        np.testing.assert_array_equal(rle_to_mask(mask_to_rle(m)), m)
+
+
+def test_crop_boxes():
+    from iuvl_tpu.inference.amg import generate_crop_boxes
+
+    boxes, layers = generate_crop_boxes((100, 200), n_layers=1)
+    assert boxes[0] == [0, 0, 200, 100] and layers[0] == 0
+    assert sum(1 for l in layers if l == 1) == 4
+
+
+def test_lsj_augmentation():
+    from iuvl_tpu.data.augment import large_scale_jitter
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (48, 64, 3), np.uint8)
+    masks = np.zeros((2, 48, 64), np.float32)
+    masks[0, 10:30, 10:40] = 1
+    masks[1, 5:15, 50:60] = 1
+    out_img, out_masks = large_scale_jitter(img, masks, rs, image_size=32)
+    assert out_img.shape == (32, 32, 3)
+    assert out_masks.shape == (2, 32, 32)
+    assert set(np.unique(out_masks)) <= {0.0, 1.0}
+
+
+def test_base_pixel_decoder():
+    import jax
+    from iuvl_tpu.models.xdecoder.fpn_decoder import BasePixelDecoder
+
+    rs = np.random.RandomState(0)
+    feats = {
+        "res2": jnp.asarray(rs.randn(1, 16, 16, 8).astype(np.float32)),
+        "res3": jnp.asarray(rs.randn(1, 8, 8, 8).astype(np.float32)),
+        "res4": jnp.asarray(rs.randn(1, 4, 4, 8).astype(np.float32)),
+        "res5": jnp.asarray(rs.randn(1, 2, 2, 8).astype(np.float32)),
+    }
+    dec = BasePixelDecoder(conv_dim=16, mask_dim=16)
+    params = dec.init(jax.random.PRNGKey(0), feats)
+    mf, ms = dec.apply(params, feats)
+    assert mf.shape == (1, 16, 16, 16)
+    assert [m.shape[1] for m in ms] == [2, 4, 8]
