@@ -128,6 +128,67 @@ def grounding_losses(
     }
 
 
+def caption_loss(
+    rng: jax.Array,
+    pred_captions: jax.Array,  # (B, Q, D) per-query caption embeddings
+    assigned: jax.Array,  # (B, T) seg-matcher query assignment
+    tgt_labels: jax.Array,  # (B, T)
+    tgt_valid: jax.Array,  # (B, T) bool
+    class_embeddings: jax.Array,  # (K, D) class-name text embeddings
+    phrase_embs: jax.Array,  # (B, P, D) caption noun-phrase embeddings
+    phrase_valid: jax.Array,  # (B, P) bool
+    phrase_groups: jax.Array,  # (B, P, P) duplicate-phrase matrix
+    logit_scale: jax.Array,
+) -> jax.Array:
+    """Query-caption contrastive loss (reference criterion.py loss_captions
+    :298-335): queries matched to gt instances contrast against their
+    class-name embeddings; remaining queries are similarity-matched
+    (caption_womask matcher mode, matcher.py:459-565) to caption noun
+    phrases and contrast against those, with duplicate texts sharing credit.
+
+    Divergence note: the reference merges duplicate texts across the whole
+    (all-gathered) batch via hashing; here credit sharing is per image
+    (static group matrices) — cross-image duplicate merging is not applied.
+    """
+    from .language import ql_multi_contrastive_loss
+
+    b, q, d = pred_captions.shape
+    t = tgt_labels.shape[1]
+    p = phrase_embs.shape[1]
+
+    v_matched = jnp.take_along_axis(pred_captions, assigned[..., None], axis=1)
+    t_matched = jnp.take(class_embeddings, tgt_labels, axis=0)  # (B, T, D)
+
+    # Unmatched queries vs phrases: similarity-only matching with matched
+    # query slots blocked.
+    v_norm = pred_captions / (jnp.linalg.norm(pred_captions, axis=-1, keepdims=True) + 1e-7)
+    p_norm = phrase_embs / (jnp.linalg.norm(phrase_embs, axis=-1, keepdims=True) + 1e-7)
+    sim = clamped_scale(logit_scale) * jnp.einsum("bqd,bpd->bqp", v_norm, p_norm)
+    matched_mask = jnp.zeros((b, q), bool)
+    matched_mask = jax.vmap(
+        lambda m, a, v: m.at[a].set(v)
+    )(matched_mask, assigned, tgt_valid)
+    cost = -sim + jnp.where(matched_mask[:, :, None], BIG_COST, 0.0)
+    cost = jnp.where(phrase_valid[:, None, :], cost, BIG_COST)
+    assigned_p = hungarian_match(cost)  # (B, P)
+    v_phrase = jnp.take_along_axis(pred_captions, assigned_p[..., None], axis=1)
+
+    # Per-image contrastive over [matched ; phrase] pairs.
+    v_all = jnp.concatenate([v_matched, v_phrase], axis=1).reshape(b * (t + p), d)
+    t_all = jnp.concatenate([t_matched, phrase_embs], axis=1).reshape(b * (t + p), d)
+    valid_all = jnp.concatenate([tgt_valid, phrase_valid], axis=1).reshape(-1)
+    group = jnp.zeros((b, t + p, t + p))
+    group = group.at[:, :t, :t].set(jnp.eye(t)[None])
+    group = group.at[:, t:, t:].set(phrase_groups)
+    group_full = jax.scipy.linalg.block_diag(*[group[i] for i in range(b)])
+
+    v_all = v_all / (jnp.linalg.norm(v_all, axis=-1, keepdims=True) + 1e-7)
+    t_all = t_all / (jnp.linalg.norm(t_all, axis=-1, keepdims=True) + 1e-7)
+    return ql_multi_contrastive_loss(
+        v_all, t_all, group_full, logit_scale, valid=valid_all
+    )
+
+
 def captioning_loss(
     pred_captionings: jax.Array,  # (B, T, D) caption-slot embeddings
     token_embedding: jax.Array,  # (V, D) frozen text-tower token table

@@ -105,3 +105,39 @@ def test_retrieval_loss_finite():
     t = jnp.asarray(rs.randn(4, 8).astype(np.float32))
     loss = retrieval_loss(v, t, jnp.asarray(0.0, jnp.float32))
     assert np.isfinite(float(loss))
+
+
+def test_caption_loss_finite_and_sensible():
+    from iuvl_tpu.losses.grounding import caption_loss
+
+    rs = np.random.RandomState(7)
+    b, q, t, p, d, k = 2, 8, 2, 3, 16, 5
+    pred = jnp.asarray(rs.randn(b, q, d).astype(np.float32))
+    assigned = jnp.asarray([[0, 3], [2, 5]], jnp.int32)
+    labels = jnp.asarray([[1, 4], [0, 2]], jnp.int32)
+    valid = jnp.ones((b, t), bool)
+    class_emb = jnp.asarray(_norm(rs.randn(k, d)).astype(np.float32))
+    phr = jnp.asarray(_norm(rs.randn(b, p, d)).astype(np.float32))
+    phr_valid = jnp.asarray([[True, True, False], [True, False, False]])
+    groups = jnp.broadcast_to(jnp.eye(p), (b, p, p))
+    loss = caption_loss(
+        jax.random.PRNGKey(0), pred, assigned, labels, valid, class_emb,
+        phr, phr_valid, groups, jnp.asarray(np.log(10.0), jnp.float32),
+    )
+    assert np.isfinite(float(loss))
+
+    # Aligned predictions should score lower loss than random.
+    aligned_pred = jnp.zeros((b, q, d))
+    t_matched = jnp.take(class_emb, labels, axis=0)
+    aligned_pred = jax.vmap(
+        lambda ap, a, tm: ap.at[a].set(tm * 10)
+    )(aligned_pred, assigned, t_matched)
+    # place phrase targets at distinct free query slots
+    aligned_pred = jax.vmap(
+        lambda ap, ph: ap.at[jnp.asarray([6, 7, 1])].set(ph * 10)
+    )(aligned_pred, phr)
+    loss_aligned = caption_loss(
+        jax.random.PRNGKey(0), aligned_pred, assigned, labels, valid,
+        class_emb, phr, phr_valid, groups, jnp.asarray(np.log(10.0)),
+    )
+    assert float(loss_aligned) < float(loss)
