@@ -65,17 +65,73 @@ def make_joint_train_step(
 ) -> Callable:
     """Joint seg + vlp step (reference JointLoader batches, forward routing
     xdecoder_model.py:281-303). Signature:
-    train_step(state, seg_batch, vlp_batch, text_embeddings, rng) where
-    vlp_batch = dict(images, caption_ids, caption_mask) or None (static)."""
-    from ..losses.grounding import captioning_loss, retrieval_loss
+    train_step(state, seg_images, text_embeddings, targets, vlp_batch,
+    seg_extras, rng). vlp_batch = dict(images, caption_ids, caption_mask)
+    or None; seg_extras adds the caption/grounding stream targets
+    (phrase_embs/phrase_valid/phrase_groups for loss_captions;
+    grounding_tokens/valid/masks/class_embs/groups/target_valid/task_weight
+    for loss_groundings). None members are static branch switches."""
+    from ..losses.grounding import (
+        GroundingConfig,
+        GroundingTargets,
+        caption_loss,
+        captioning_loss,
+        grounding_losses,
+        retrieval_loss,
+    )
+    from ..losses.matcher import compute_match_cost, hungarian_match
 
-    def loss_fn(params, seg_images, text_embeddings, targets, vlp_batch, rng):
+    gcfg = GroundingConfig(num_points=match_points)
+
+    def loss_fn(params, seg_images, text_embeddings, targets, vlp_batch,
+                seg_extras, rng):
         losses = {}
+        seg_extras = seg_extras or {}
+        has_grounding = "grounding_tokens" in seg_extras
         outputs = model.apply(
-            params, seg_images, text_embeddings, method=type(model).forward_seg
+            params, seg_images, text_embeddings,
+            grounding_tokens=seg_extras.get("grounding_tokens"),
+            grounding_valid=seg_extras.get("grounding_valid"),
+            method=type(model).forward_seg,
         )
-        obj, _ = split_seg_outputs(outputs, model.cfg.num_queries)
+        obj, grd = split_seg_outputs(
+            outputs, model.cfg.num_queries, grounding=has_grounding
+        )
         losses.update(criterion(rng, obj, targets, match_points=match_points))
+
+        if "phrase_embs" in seg_extras:
+            # Final-layer caption contrastive (reference loss_captions runs
+            # per aux layer too; final-layer only here — see PARITY.md).
+            rng, r_cap, r_m = jax.random.split(rng, 3)
+            cost = compute_match_cost(
+                r_m,
+                jax.lax.stop_gradient(obj["pred_logits"]),
+                jax.lax.stop_gradient(obj["pred_masks"]),
+                targets.labels, targets.masks, targets.valid,
+                num_points=match_points,
+            )
+            assigned = hungarian_match(cost)
+            losses["loss_caption_0"] = caption_loss(
+                r_cap, outputs["pred_captions"][:, : model.cfg.num_queries - 1],
+                assigned, targets.labels, targets.valid, text_embeddings,
+                seg_extras["phrase_embs"], seg_extras["phrase_valid"],
+                seg_extras["phrase_groups"], _logit_scale(params),
+            )
+        if has_grounding and "grounding_masks" in seg_extras:
+            rng, r_g = jax.random.split(rng)
+            gt = GroundingTargets(
+                masks=seg_extras["grounding_masks"],
+                class_embs=seg_extras["grounding_class_embs"],
+                group_matrix=seg_extras["grounding_groups"],
+                valid=seg_extras["grounding_target_valid"],
+                task_weight=seg_extras["grounding_task_weight"],
+            )
+            losses.update(
+                grounding_losses(
+                    r_g, grd["pred_masks"], grd["pred_captions"], gt,
+                    _logit_scale(params), gcfg,
+                )
+            )
 
         if vlp_batch is not None:
             out = model.apply(
@@ -94,10 +150,14 @@ def make_joint_train_step(
         total = sum(losses.values())
         return total, losses
 
+    def _logit_scale(params):
+        return params["params"]["lang_encoder"]["logit_scale"]
+
     def train_step(state: TrainState, seg_images, text_embeddings, targets,
-                   vlp_batch, rng):
+                   vlp_batch, seg_extras, rng):
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, seg_images, text_embeddings, targets, vlp_batch, rng
+            state.params, seg_images, text_embeddings, targets, vlp_batch,
+            seg_extras, rng,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
