@@ -28,7 +28,7 @@ def main():
 
     from iuvl_tpu.models.sam.build import Sam, SamConfig
 
-    cfg = SamConfig(dtype="bfloat16")  # ViT-B, 1024x1024
+    cfg = SamConfig(dtype="bfloat16", attn_impl="auto")  # ViT-B, 1024x1024
     model = Sam(cfg=cfg)
 
     n_prompts = 1024

@@ -68,6 +68,30 @@ ADE150_CLASSES = [
     "clock", "flag",
 ]
 
+SCANNET_40_CLASSES = [
+    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
+    "window", "bookshelf", "picture", "counter", "blinds", "desk", "shelves",
+    "curtain", "dresser", "pillow", "mirror", "floor mat", "clothes",
+    "ceiling", "books", "refrigerator", "television", "paper", "towel",
+    "shower curtain", "box", "whiteboard", "person", "night stand", "toilet",
+    "sink", "lamp", "bathtub", "bag", "otherstructure", "otherfurniture",
+    "otherprop",
+]
+SCANNET_20_CLASSES = [
+    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
+    "window", "bookshelf", "picture", "counter", "desk", "curtain",
+    "refrigerator", "shower curtain", "toilet", "sink", "bathtub",
+    "otherfurniture",
+]
+SUN_RGBD_37_CLASSES = SCANNET_40_CLASSES[:37]
+
+CITYSCAPES_19_CLASSES = [
+    "road", "sidewalk", "building", "wall", "fence", "pole", "traffic light",
+    "traffic sign", "vegetation", "terrain", "sky", "person", "rider", "car",
+    "truck", "bus", "train", "motorcycle", "bicycle",
+]
+BDD_SEM_CLASSES = CITYSCAPES_19_CLASSES
+
 PASCAL_VOC_CLASSES = [
     "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
     "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
@@ -93,4 +117,12 @@ def get_class_names(
         return ADE150_CLASSES + ["background"]
     if "voc" in n or "pascal" in n:
         return PASCAL_VOC_CLASSES + ["background"]
+    if "scannet_41" in n or "scannet_40" in n:
+        return SCANNET_40_CLASSES + ["background"]
+    if "scannet_21" in n or "scannet_20" in n:
+        return SCANNET_20_CLASSES + ["background"]
+    if "sun" in n:
+        return SUN_RGBD_37_CLASSES + ["background"]
+    if "bdd" in n or "cityscapes" in n:
+        return BDD_SEM_CLASSES + ["background"]
     raise ValueError(f"unknown dataset for class names: {dataset_name}")

@@ -88,9 +88,9 @@ def flash_attention(
         cfg[axis] = (0, pad)
         return jnp.pad(x, cfg)
 
-    block_q = min(block_q, max(128, 1 << (n - 1).bit_length()))
-    block_q = min(block_q, 512)
-    block_k = min(block_k, 512)
+    npow = max(128, 1 << (n - 1).bit_length())
+    block_q = min(block_q, npow)
+    block_k = min(block_k, npow)
     qp = pad_to(pad_to(q, block_q, 2), 128, 3)
     kp = pad_to(pad_to(k, block_k, 2), 128, 3)
     vp = pad_to(pad_to(v, block_k, 2), 128, 3)
