@@ -217,6 +217,33 @@ def batched_iterator(
         epoch += 1
 
 
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch so host-side collation (image decode,
+    resize, prompt rasterization) overlaps device compute — the TPU-side
+    role of the reference's detectron2 worker loaders
+    (DATALOADER.NUM_WORKERS)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
 class JointLoader:
     """Zip several task streams into one batch dict keyed by task name
     (reference datasets/build.py:53-69)."""

@@ -10,6 +10,11 @@ Design: grid over (batch*heads, q blocks); the kernel streams K/V blocks
 through VMEM with an online-softmax running (max, sum, acc) state in fp32
 scratch. Block sizes are multiples of the MXU tile (128); ragged N is
 padded by the caller wrapper and masked via -inf on padded keys.
+
+Measured on v5e (global SAM block, 12 heads x 4096 x 192-aug): 1.04 ms at
+block (2048, 1024) vs 1.64 ms for the XLA path. Blocks of 2048x2048+ OOM
+the 16 MB VMEM scope. Inference path only for now — no custom VJP yet, so
+training uses the XLA augmented-matmul path (rel_pos_attention impl='xla').
 """
 
 from __future__ import annotations

@@ -104,6 +104,9 @@ class Trainer:
 
         batch_size = cfg.get("BATCH_SIZE", jax.device_count())
         train_name, loader = self.pipeline.get_dataloaders("train", batch_size)
+        from ..data.datasets import prefetch_iterator
+
+        loader = prefetch_iterator(loader, depth=cfg.get("PREFETCH", 2))
         text_emb = self._shard(
             self.pipeline.class_text_embeddings(state.params, train_name,
                                                 is_eval=False)
