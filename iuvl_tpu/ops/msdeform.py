@@ -38,9 +38,12 @@ def ms_deform_attn_core(
     The XLA path (4-tap take_along_axis + VPU weighted reduce) is the fast
     path by design; 'pallas' currently aliases it. Revisit if a
     locality-tiled variant (block queries + halo'd value tiles) proves out.
+    'xla_patch' fetches (2, 2, d) windows with one lax.gather per level
+    (4x fewer gather rows).
     """
     return _ms_deform_attn_xla(
-        value, spatial_shapes, sampling_locations, attention_weights
+        value, spatial_shapes, sampling_locations, attention_weights,
+        patch=(impl == "xla_patch"),
     )
 
 
@@ -49,6 +52,16 @@ def _bilinear_gather(v_flat, h, w, x, y):
 
     v_flat: (B, heads, HW, d); x, y: (B, heads, Lq, P) pixel coords.
     Returns (B, heads, Lq, P, d).
+
+    Perf note (v5e, profiled): these gathers dominate evaluate_seg —
+    2.75M 128-byte rows per level at ~123M rows/s on the TPU gather path
+    (~5.6 ms per tap-set, ~400 ms/model at 1024^2). Measured alternatives,
+    all WORSE: merging taps into one gather + barriers (586 -> 665 ms,
+    extra materialized intermediate), (2,2,d) patch lax.gather with 4x
+    fewer rows ('xla_patch': 586 -> 1009 ms — multi-dim window gathers
+    lower slower still). Heads sample at different locations, so rows
+    cannot be widened past 64 channels. Round-2 lever: a Pallas kernel
+    holding the per-head level value map in VMEM with an on-chip gather.
     """
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -77,9 +90,67 @@ def _bilinear_gather(v_flat, h, w, x, y):
     return out
 
 
-def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_weights):
+def _bilinear_gather_patch(v_map, h, w, x, y):
+    """Patch-gather variant: ONE lax.gather fetching a (2, 2, d) window per
+    sampling point (4x fewer gather rows than per-tap take_along_axis).
+    v_map: (BH, h, w, d); x, y: (BH, L) pixel coords. Returns (BH, L, d)."""
+    bh, l = x.shape
+    d = v_map.shape[-1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(v_map.dtype)
+    fy = (y - y0).astype(v_map.dtype)
+
+    ys = jnp.clip(y0, 0, h - 2).astype(jnp.int32)
+    xs = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
+    starts = jnp.stack([ys, xs], axis=-1)  # (BH, L, 2)
+
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patches = jax.lax.gather(
+        v_map, starts, dn, slice_sizes=(1, 2, 2, d),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (BH, L, 2, 2, d) — wait: offset dims give (1,2,2,d); batching keeps BH
+    patches = patches.reshape(bh, l, 2, 2, d)
+
+    # Positions of the true taps inside the clipped patch.
+    py = (y0 - ys).astype(jnp.int32)  # 0 normally; 1 when y0 == h-1; -1 when y0 < 0
+    px = (x0 - xs).astype(jnp.int32)
+
+    def tap(dy, dx):
+        iy = jnp.clip(py + dy, 0, 1)
+        ix = jnp.clip(px + dx, 0, 1)
+        sel = jnp.take_along_axis(
+            patches.reshape(bh, l, 4, d),
+            (iy * 2 + ix)[..., None, None].astype(jnp.int32), axis=2,
+        )[:, :, 0]
+        valid = (
+            (x0 + dx >= 0) & (x0 + dx <= w - 1)
+            & (y0 + dy >= 0) & (y0 + dy <= h - 1)
+        ).astype(v_map.dtype)
+        return sel, valid
+
+    g00, v00 = tap(0, 0)
+    g01, v01 = tap(0, 1)
+    g10, v10 = tap(1, 0)
+    g11, v11 = tap(1, 1)
+    w00 = ((1 - fy) * (1 - fx) * v00)[..., None]
+    w01 = ((1 - fy) * fx * v01)[..., None]
+    w10 = (fy * (1 - fx) * v10)[..., None]
+    w11 = (fy * fx * v11)[..., None]
+    return g00 * w00 + g01 * w01 + g10 * w10 + g11 * w11
+
+
+def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
+                        attention_weights, patch: bool = False):
     b, s, nh, d = value.shape
     lq = sampling_locations.shape[1]
+    p = sampling_locations.shape[4]
     level_sizes = [h * w for h, w in spatial_shapes]
     assert sum(level_sizes) == s, (spatial_shapes, s)
 
@@ -94,7 +165,14 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_wei
         # grid_sample align_corners=False: pixel = loc * size - 0.5
         x = loc[..., 0].transpose(0, 2, 1, 3) * wl - 0.5  # (B, nh, Lq, P)
         y = loc[..., 1].transpose(0, 2, 1, 3) * hl - 0.5
-        sampled = _bilinear_gather(v_l, hl, wl, x, y)  # (B, nh, Lq, P, d)
+        if patch:
+            sampled = _bilinear_gather_patch(
+                v_l.reshape(b * nh, hl, wl, d),
+                hl, wl,
+                x.reshape(b * nh, lq * p), y.reshape(b * nh, lq * p),
+            ).reshape(b, nh, lq, p, d)
+        else:
+            sampled = _bilinear_gather(v_l, hl, wl, x, y)  # (B, nh, Lq, P, d)
         w_l = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # (B, nh, Lq, P)
         out = out + (sampled * w_l[..., None]).sum(axis=3)
 

@@ -89,3 +89,23 @@ def test_sine_position_embedding_parity():
     ref = pe_t(x).numpy().transpose(0, 2, 3, 1)[0]  # (6, 9, 128)
     ours = np.asarray(position_embedding_sine(6, 9, num_pos_feats=64))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_msdeform_patch_gather_matches_oracle():
+    rs = np.random.RandomState(4)
+    shapes = [(8, 12), (4, 6)]
+    S = sum(h * w for h, w in shapes)
+    B, Lq, M, D, L, P = 1, 9, 2, 8, 2, 3
+    value = rs.randn(B, S, M, D).astype(np.float32)
+    loc = rs.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+    w = rs.rand(B, Lq, M, L, P).astype(np.float32)
+    w /= w.reshape(B, Lq, M, -1).sum(-1)[..., None, None]
+    ref = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(loc),
+                            jnp.asarray(w), impl="xla")
+    )
+    ours = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(loc),
+                            jnp.asarray(w), impl="xla_patch")
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
