@@ -135,3 +135,26 @@ def test_base_pixel_decoder():
     mf, ms = dec.apply(params, feats)
     assert mf.shape == (1, 16, 16, 16)
     assert [m.shape[1] for m in ms] == [2, 4, 8]
+
+
+def test_export_decode_roundtrip():
+    import jax
+    from tests.test_syslearner import _tiny_model
+    from iuvl_tpu.models.xdecoder.model import SysLearner
+    from iuvl_tpu.inference.export import export_decode, load_exported
+
+    model = _tiny_model()
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    text_emb = jnp.ones((5, 32), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), images, text_emb, method=SysLearner.warmup
+    )
+    data = export_decode(model, params, num_prompts=2)
+    assert isinstance(data, (bytes, bytearray)) and len(data) > 1000
+
+    fn = load_exported(data)
+    emb = jnp.zeros((2, 4, 4, 256), jnp.float32)
+    pts = jnp.asarray([[[10.0, 10.0]], [[30.0, 30.0]]])
+    labs = jnp.ones((2, 1), jnp.int32)
+    masks = fn.call(params, emb, pts, labs)
+    assert masks.shape == (2, 4, 16, 16)
