@@ -100,6 +100,26 @@ class SegCriterion:
         loss_dice = (dice * valid).sum() / num_masks
         return loss_bce, loss_dice
 
+    def loss_boxes(self, pred_boxes, targets_boxes, tgt_valid, assigned,
+                   num_masks):
+        """Box L1 + GIoU loss (reference criterion.py:688-760, the
+        DETECTION:True branch). pred_boxes (B, Q, 4) cxcywh normalized;
+        targets_boxes (B, T, 4) cxcywh."""
+        from ..ops.boxes import box_cxcywh_to_xyxy, generalized_box_iou
+
+        src = jnp.take_along_axis(pred_boxes, assigned[..., None], axis=1)
+        valid = tgt_valid.astype(jnp.float32)
+        l1 = jnp.abs(src - targets_boxes).sum(-1)
+        loss_l1 = (l1 * valid).sum() / num_masks
+        b = src.shape[0]
+        giou_diag = jax.vmap(
+            lambda s, t: jnp.diagonal(
+                generalized_box_iou(box_cxcywh_to_xyxy(s), box_cxcywh_to_xyxy(t))
+            )
+        )(src, targets_boxes)
+        loss_giou = ((1.0 - giou_diag) * valid).sum() / num_masks
+        return loss_l1, loss_giou
+
     # ---------------- full forward ---------------- #
     def __call__(
         self,

@@ -45,6 +45,7 @@ def answer_questions(
     questions: Sequence[str],
     max_new_tokens: int = 32,
     max_len: int = 256,
+    num_beams: int = 1,
 ) -> list[str]:
     """End-to-end VQA: vision features -> projector -> splice -> generate."""
     b = images.shape[0]
@@ -87,9 +88,17 @@ def answer_questions(
     embeds = embeds[:, :real_len]
     attn = attn[:, :real_len]
 
-    out_tokens = greedy_generate(
-        llm, llm_params, embeds, attn, max_new_tokens=max_new_tokens
-    )
+    if num_beams > 1:
+        from .multimodal import beam_generate
+
+        out_tokens = beam_generate(
+            llm, llm_params, embeds, attn, max_new_tokens=max_new_tokens,
+            num_beams=num_beams,
+        )
+    else:
+        out_tokens = greedy_generate(
+            llm, llm_params, embeds, attn, max_new_tokens=max_new_tokens
+        )
     return tokenizer.batch_decode(np.asarray(out_tokens), skip_special_tokens=True)
 
 

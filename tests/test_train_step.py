@@ -117,3 +117,21 @@ def test_train_step_data_parallel_mesh(tiny_setup):
     )
     new_state, metrics = step_fn(state, images, text_emb, tgt, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_loss_boxes():
+    from iuvl_tpu.losses.criterion import CriterionConfig, SegCriterion
+
+    crit = SegCriterion(CriterionConfig(num_classes=4))
+    pred = jnp.asarray([[[0.5, 0.5, 0.2, 0.2], [0.1, 0.1, 0.1, 0.1],
+                         [0.9, 0.9, 0.1, 0.1]]])
+    tgt = jnp.asarray([[[0.5, 0.5, 0.2, 0.2], [0.9, 0.9, 0.1, 0.1]]])
+    valid = jnp.ones((1, 2), bool)
+    assigned = jnp.asarray([[0, 2]], jnp.int32)
+    l1, giou = crit.loss_boxes(pred, tgt, valid, assigned, 2.0)
+    np.testing.assert_allclose(float(l1), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(giou), 0.0, atol=1e-6)
+    # mismatched assignment increases both
+    bad = jnp.asarray([[1, 1]], jnp.int32)
+    l1b, gioub = crit.loss_boxes(pred, tgt, valid, bad, 2.0)
+    assert float(l1b) > 0 and float(gioub) > 0
