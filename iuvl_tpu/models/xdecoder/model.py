@@ -212,8 +212,12 @@ class SysLearner(nn.Module):
         out = self.forward_vlp(images, token_emb)
         out["caption_class_emb"] = class_emb  # pooled caption embedding
         # Raw token table (V, width): the captioning logits use it directly
-        # (reference xdecoder.py:359 — width == dim_proj in shipped configs).
-        out["token_table"] = self.lang_encoder.lang_encoder.token_table()
+        # (reference xdecoder.py:359 — width == dim_proj in shipped configs;
+        # when they differ, project the table with lang_proj).
+        table = self.lang_encoder.lang_encoder.token_table()
+        if table.shape[-1] != self.cfg.syslearner_dim:
+            table = table @ self.lang_encoder.lang_proj
+        out["token_table"] = table
         out["logit_scale"] = self.lang_encoder.logit_scale
         return out
 

@@ -57,6 +57,8 @@ class XDecoderPipeline:
             img_size=c.get("IMAGE_SIZE", 1024),
             syslearner_dim=c.get("SYSLEARNER_DIM", 512),
             mask_proposals=c.get("MASK_PROPOSAL", 100),
+            text_width=c.get("TEXT_WIDTH", c.get("SYSLEARNER_DIM", 512)),
+            text_layers=c.get("TEXT_LAYERS", 12),
             dtype=c.get("DTYPE", "bfloat16"),
             attn_impl=c.get("ATTN_IMPL", "xla"),
             msdeform_impl=c.get("MSDEFORM_IMPL", "xla"),

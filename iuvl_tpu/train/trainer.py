@@ -82,10 +82,15 @@ class Trainer:
                 num_points=cfg.get("TRAIN_NUM_POINTS", 12544),
             )
         )
-        step_fn = make_train_step(
-            model, criterion, tx,
-            match_points=cfg.get("MATCH_POINTS", cfg.get("TRAIN_NUM_POINTS", 12544)),
-        )
+        match_points = cfg.get("MATCH_POINTS", cfg.get("TRAIN_NUM_POINTS", 12544))
+        if cfg.get("LOADER", {}).get("JOINT"):
+            from .train_step import make_joint_train_step
+
+            step_fn = make_joint_train_step(
+                model, criterion, tx, match_points=match_points
+            )
+        else:
+            step_fn = make_train_step(model, criterion, tx, match_points=match_points)
         return model, params, tx, criterion, step_fn, epochs, steps_per_epoch
 
     def _shard(self, tree, spec):
@@ -104,8 +109,20 @@ class Trainer:
 
         batch_size = cfg.get("BATCH_SIZE", jax.device_count())
         train_name, loader = self.pipeline.get_dataloaders("train", batch_size)
-        from ..data.datasets import prefetch_iterator
+        from ..data.datasets import JointLoader, batched_iterator, build_dataset, prefetch_iterator
 
+        joint = bool(cfg.get("LOADER", {}).get("JOINT"))
+        train_names = cfg.get("DATASETS", {}).get("TRAIN") or ["synthetic_seg"]
+        vlp_names = [n for n in train_names if "vlp" in n]
+        joint = joint and bool(vlp_names)
+        if joint:
+            vlp_ds = build_dataset(
+                vlp_names[0], cfg.get(vlp_names[0].upper(), {}), "train"
+            )
+            vlp_loader = batched_iterator(
+                vlp_ds, cfg.get("VLP_BATCH_SIZE", batch_size), epochs=None
+            )
+            loader = JointLoader({"seg": loader, "vlp": vlp_loader})
         loader = prefetch_iterator(loader, depth=cfg.get("PREFETCH", 2))
         text_emb = self._shard(
             self.pipeline.class_text_embeddings(state.params, train_name,
@@ -128,14 +145,30 @@ class Trainer:
         for batch in loader:
             if step >= epochs * steps_per_epoch:
                 break
+            seg_batch = batch["seg"] if joint else batch
             targets = SegTargets(
-                labels=self._shard(jnp.asarray(batch["labels"]), P("data")),
-                masks=self._shard(jnp.asarray(batch["masks"]), P("data")),
-                valid=self._shard(jnp.asarray(batch["valid"]), P("data")),
+                labels=self._shard(jnp.asarray(seg_batch["labels"]), P("data")),
+                masks=self._shard(jnp.asarray(seg_batch["masks"]), P("data")),
+                valid=self._shard(jnp.asarray(seg_batch["valid"]), P("data")),
             )
-            images = self._shard(jnp.asarray(batch["image"]), P("data"))
+            images = self._shard(jnp.asarray(seg_batch["image"]), P("data"))
             rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, images, text_emb, targets, sub)
+            if joint:
+                vb = batch["vlp"]
+                vlp_batch = {
+                    "images": self._shard(jnp.asarray(vb["image"]), P("data")),
+                    "caption_ids": self._shard(
+                        jnp.asarray(vb["caption_ids"]), P("data")
+                    ),
+                    "caption_mask": self._shard(
+                        jnp.asarray(vb["caption_mask"]), P("data")
+                    ),
+                }
+                state, metrics = step_fn(
+                    state, images, text_emb, targets, vlp_batch, None, sub
+                )
+            else:
+                state, metrics = step_fn(state, images, text_emb, targets, sub)
             step += 1
             meters.update({k: float(v) for k, v in jax.device_get(metrics).items()})
             thru.update(batch_size)

@@ -43,3 +43,32 @@ def test_trainer_train_and_eval(tmp_path):
     )
     key = [k for k in metrics if k.endswith("mIoU")]
     assert key, metrics
+
+
+def test_trainer_joint_mode(tmp_path):
+    import iuvl_tpu.models.sam.build as sb
+
+    sb.SAM_VARIANTS["tiny_test"] = dict(
+        embed_dim=32, depth=2, num_heads=2, global_attn_indexes=(1,)
+    )
+    cfg = {
+        "SAM_SIZE": "tiny_test", "IMAGE_SIZE": 64, "SYSLEARNER_DIM": 32,
+        "MASK_PROPOSAL": 10, "DTYPE": "float32",
+        "DATASETS": {"TRAIN": ["synthetic_seg", "synthetic_vlp"],
+                     "TEST": ["synthetic_seg"]},
+        "LOADER": {"JOINT": True},
+        "NUM_CLASSES": 4, "BATCH_SIZE": 2, "STEPS_PER_EPOCH": 2,
+        "TRAIN_NUM_POINTS": 64, "MATCH_POINTS": 64,
+        "SOLVER": {"BASE_LR": 1e-3, "MAX_NUM_EPOCHS": 1, "WARMUP_ITERS": 1},
+        "SAVE_DIR": str(tmp_path), "LOG_EVERY": 1,
+        "SYNTHETIC_SEG": {"NUM_CLASSES": 4, "IMAGE_SIZE": 64,
+                          "MAX_INSTANCES": 3, "LENGTH": 8},
+        "SYNTHETIC_VLP": {"IMAGE_SIZE": 64, "LENGTH": 8},
+    }
+    from iuvl_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    result = trainer.train()
+    assert result["final_step"] == 2
+    assert "loss_captioning_0" in result
+    assert np.isfinite(result["loss_total"])
