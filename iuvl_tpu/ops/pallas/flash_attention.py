@@ -68,10 +68,50 @@ def _flash_kernel(n_valid_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(
+    q: jax.Array,  # (B, H, N, d_qk)
+    k: jax.Array,  # (B, H, N, d_qk)
+    v: jax.Array,  # (B, H, N, d_v)
+    softmax_scale: float = 1.0,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jax.Array:
+    """Differentiable: forward = fused Pallas kernel; backward = XLA
+    recompute of softmax(QK^T) with the standard flash gradient formulas
+    (the usual fwd-fused / bwd-recompute trade)."""
+    return _flash_forward(q, k, v, softmax_scale, block_q, block_k)
+
+
+def _flash_fwd_rule(q, k, v, softmax_scale, block_q, block_k):
+    return _flash_forward(q, k, v, softmax_scale, block_q, block_k), (q, k, v)
+
+
+def _flash_bwd_rule(softmax_scale, block_q, block_k, res, g):
+    q, k, v = res
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * softmax_scale, k,
+        preferred_element_type=jnp.float32,
+    )
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p.astype(g.dtype), g)
+    dp = jnp.einsum(
+        "bhqd,bhkd->bhqk", g, v, preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - (dp * p).sum(-1, keepdims=True))
+    ds = ds.astype(q.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * softmax_scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q * softmax_scale)
+    return dq, dk, dv
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
 @functools.partial(
     jax.jit, static_argnames=("softmax_scale", "block_q", "block_k")
 )
-def flash_attention(
+def _flash_forward(
     q: jax.Array,  # (B, H, N, d_qk)
     k: jax.Array,  # (B, H, N, d_qk)
     v: jax.Array,  # (B, H, N, d_v)

@@ -75,3 +75,37 @@ def test_flash_kernel_interpret_matches_xla():
         fa.pl.pallas_call = orig_call
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_flash_kernel_grad_matches_xla():
+    """custom VJP (bwd = XLA recompute) must match grads of the pure-XLA
+    augmented path."""
+    from iuvl_tpu.ops.pallas import flash_attention as fa
+
+    q, k, v, rph, rpw, hw = _inputs(seed=5)
+    q_aug, k_aug = augment_qk_rel_pos(q, k, rph, rpw, hw)
+
+    def xla_loss(q_, k_, v_):
+        a = jnp.einsum("bnqd,bnkd->bnqk", q_, k_,
+                       preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(a, axis=-1).astype(v_.dtype)
+        return jnp.einsum("bnqk,bnkd->bnqd", a, v_).sum()
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    fa.pl.pallas_call = interp
+    try:
+        def pallas_loss(q_, k_, v_):
+            return fa.flash_attention(q_, k_, v_).sum()
+
+        g_p = jax.grad(pallas_loss, argnums=(0, 1, 2))(q_aug, k_aug, v)
+    finally:
+        fa.pl.pallas_call = orig
+    g_x = jax.grad(xla_loss, argnums=(0, 1, 2))(q_aug, k_aug, v)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
