@@ -61,6 +61,7 @@ def make_joint_train_step(
     match_points: int = 12544,
     captioning_weight: float = 2.0,
     retrieval_weight: float = 2.0,
+    language_loss_layers: int = 10,
     donate: bool = True,
 ) -> Callable:
     """Joint seg + vlp step (reference JointLoader batches, forward routing
@@ -99,26 +100,38 @@ def make_joint_train_step(
         )
         losses.update(criterion(rng, obj, targets, match_points=match_points))
 
+        nq = model.cfg.num_queries
+        # Per-layer language losses (reference applies loss_captions /
+        # loss_groundings to the final + all aux layers up to top_x_layers;
+        # `language_loss_layers` caps the depth, counted from the last).
+        n_layers = len(outputs["aux_outputs"]) + 1
+        layer_ids = range(max(0, n_layers - language_loss_layers), n_layers)
+
+        def layer_out(i):
+            if i == n_layers - 1:
+                return outputs
+            return outputs["aux_outputs"][i]
+
         if "phrase_embs" in seg_extras:
-            # Final-layer caption contrastive (reference loss_captions runs
-            # per aux layer too; final-layer only here — see PARITY.md).
-            rng, r_cap, r_m = jax.random.split(rng, 3)
-            cost = compute_match_cost(
-                r_m,
-                jax.lax.stop_gradient(obj["pred_logits"]),
-                jax.lax.stop_gradient(obj["pred_masks"]),
-                targets.labels, targets.masks, targets.valid,
-                num_points=match_points,
-            )
-            assigned = hungarian_match(cost)
-            losses["loss_caption_0"] = caption_loss(
-                r_cap, outputs["pred_captions"][:, : model.cfg.num_queries - 1],
-                assigned, targets.labels, targets.valid, text_embeddings,
-                seg_extras["phrase_embs"], seg_extras["phrase_valid"],
-                seg_extras["phrase_groups"], _logit_scale(params),
-            )
+            for i in layer_ids:
+                o = layer_out(i)
+                rng, r_cap, r_m = jax.random.split(rng, 3)
+                cost = compute_match_cost(
+                    r_m,
+                    jax.lax.stop_gradient(o["pred_logits"][:, : nq - 1]),
+                    jax.lax.stop_gradient(o["pred_masks"][:, : nq - 1]),
+                    targets.labels, targets.masks, targets.valid,
+                    num_points=match_points,
+                )
+                assigned = hungarian_match(cost)
+                suffix = "_0" if i == n_layers - 1 else f"_{i + 1}"
+                losses[f"loss_caption{suffix}"] = caption_loss(
+                    r_cap, o["pred_captions"][:, : nq - 1],
+                    assigned, targets.labels, targets.valid, text_embeddings,
+                    seg_extras["phrase_embs"], seg_extras["phrase_valid"],
+                    seg_extras["phrase_groups"], _logit_scale(params),
+                )
         if has_grounding and "grounding_masks" in seg_extras:
-            rng, r_g = jax.random.split(rng)
             gt = GroundingTargets(
                 masks=seg_extras["grounding_masks"],
                 class_embs=seg_extras["grounding_class_embs"],
@@ -126,12 +139,18 @@ def make_joint_train_step(
                 valid=seg_extras["grounding_target_valid"],
                 task_weight=seg_extras["grounding_task_weight"],
             )
-            losses.update(
-                grounding_losses(
-                    r_g, grd["pred_masks"], grd["pred_captions"], gt,
+            for i in layer_ids:
+                o = layer_out(i)
+                rng, r_g = jax.random.split(rng)
+                suffix = "_0" if i == n_layers - 1 else f"_{i + 1}"
+                g_losses = grounding_losses(
+                    r_g, o["pred_masks"][:, nq : 2 * nq - 1],
+                    o["pred_captions"][:, nq : 2 * nq - 1], gt,
                     _logit_scale(params), gcfg,
                 )
-            )
+                losses.update(
+                    {k.replace("_0", suffix): v for k, v in g_losses.items()}
+                )
 
         if vlp_batch is not None:
             out = model.apply(

@@ -65,7 +65,8 @@ def test_joint_step_with_grounding_and_caption_stream():
     criterion = SegCriterion(CriterionConfig(num_classes=4))
     tx = build_optimizer(params, base_lr=1e-3, total_steps=10)
     step_fn = make_joint_train_step(
-        model, criterion, tx, match_points=64, donate=False
+        model, criterion, tx, match_points=64, language_loss_layers=2,
+        donate=False,
     )
     state = TrainState.create(params, tx)
 
@@ -94,6 +95,7 @@ def test_joint_step_with_grounding_and_caption_stream():
         text_emb, targets, None, seg_extras, jax.random.PRNGKey(2),
     )
     for key in ("loss_grounding_bce_0", "loss_grounding_dice_0",
-                "loss_grounding_ce_0", "loss_caption_0"):
+                "loss_grounding_ce_0", "loss_caption_0",
+                "loss_grounding_bce_9", "loss_caption_9"):
         assert key in metrics and np.isfinite(float(metrics[key])), key
     assert int(new_state.step) == 1
