@@ -140,6 +140,10 @@ class SegCriterion:
         ]
         for layer_id, layer_out in enumerate(layer_outputs):
             rng, r_match, r_pts = jax.random.split(rng, 3)
+            # Reference top_x_layers semantics: the FINAL layer's loss is
+            # always kept; top_mask_layers trims the earliest aux layers.
+            if layer_id < max(0, len(layer_outputs) - c.top_mask_layers):
+                continue
             cost = compute_match_cost(
                 r_match,
                 jax.lax.stop_gradient(layer_out["pred_logits"]),
@@ -153,12 +157,11 @@ class SegCriterion:
             assigned = hungarian_match(cost)
 
             suffix = "_0" if layer_id == len(layer_outputs) - 1 else f"_{layer_id + 1}"
-            if layer_id < c.top_mask_layers:
-                ce = self.loss_labels(layer_out["pred_logits"], targets, assigned)
-                bce, dice = self.loss_masks(
-                    r_pts, layer_out["pred_masks"], targets, assigned, num_masks
-                )
-                losses[f"loss_mask_ce{suffix}"] = c.class_weight * ce
-                losses[f"loss_mask_bce{suffix}"] = c.mask_weight * bce
-                losses[f"loss_mask_dice{suffix}"] = c.dice_weight * dice
+            ce = self.loss_labels(layer_out["pred_logits"], targets, assigned)
+            bce, dice = self.loss_masks(
+                r_pts, layer_out["pred_masks"], targets, assigned, num_masks
+            )
+            losses[f"loss_mask_ce{suffix}"] = c.class_weight * ce
+            losses[f"loss_mask_bce{suffix}"] = c.mask_weight * bce
+            losses[f"loss_mask_dice{suffix}"] = c.dice_weight * dice
         return losses

@@ -143,7 +143,7 @@ def beam_generate(
         tokens, cur_tok, beam_scores, finished, caches = carry
         emb = model.apply(params, cur_tok[:, None], method=type(model).embed)
         logits, caches = model.apply(
-            params, emb, caches, prompt_len + i + 1, pad_mask,
+            params, emb, caches, prompt_len + i, pad_mask,
             method=type(model).decode_step,
         )
         logp = jax.nn.log_softmax(logits, -1)  # (B*k, V)

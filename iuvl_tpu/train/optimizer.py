@@ -121,13 +121,7 @@ def build_optimizer(
     ]
     if lr_multipliers:
         mults = lr_multiplier_tree(params, lr_multipliers)
-        chain.append(
-            optax.masked(
-                optax.identity(), jax.tree.map(lambda m: m == 1.0, mults)
-            )
-        )
-        # Scale the non-unit-multiplier leaves.
-        chain[-1] = _scale_by_tree(mults)
+        chain.append(_scale_by_tree(mults))
     if frozen_substrings:
         freeze_mask = jax.tree_util.tree_map_with_path(
             lambda path, _: any(s.lower() in _path_str(path) for s in frozen_substrings),

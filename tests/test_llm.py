@@ -163,11 +163,23 @@ def test_beam_generate_matches_greedy_with_one_beam(llm_and_params):
     ids = jnp.asarray(np.random.RandomState(5).randint(0, 64, (1, 5)))
     emb = model.apply(params, ids, method=LlamaForCausalLM.embed)
     mask = jnp.ones((1, 5), jnp.int32)
-    greedy = greedy_generate(model, params, emb, mask, max_new_tokens=4)
-    beam1 = beam_generate(model, params, emb, mask, max_new_tokens=4,
+    # 10 tokens: long enough to catch KV-offset drift (a +1 offset bug only
+    # diverges from token ~5 on, which a 4-token check missed in round 1).
+    greedy = greedy_generate(model, params, emb, mask, max_new_tokens=10)
+    beam1 = beam_generate(model, params, emb, mask, max_new_tokens=10,
                           num_beams=1, eos_id=-1)
     np.testing.assert_array_equal(np.asarray(greedy), np.asarray(beam1))
 
-    beam3 = beam_generate(model, params, emb, mask, max_new_tokens=4,
+    beam3 = beam_generate(model, params, emb, mask, max_new_tokens=10,
                           num_beams=3, eos_id=-1)
-    assert beam3.shape == (1, 4)
+    assert beam3.shape == (1, 10)
+
+    # No-cache oracle: re-run the full sequence through the cacheless forward
+    # and check each greedy token is the argmax given the true prefix.
+    toks = np.asarray(greedy)[0]
+    ids_full = np.concatenate([np.asarray(ids)[0], toks])
+    for t in range(len(toks)):
+        prefix = jnp.asarray(ids_full[None, : 5 + t])
+        e = model.apply(params, prefix, method=LlamaForCausalLM.embed)
+        logits = model.apply(params, e, jnp.ones_like(prefix))
+        assert int(jnp.argmax(logits[0, -1])) == int(toks[t]), f"token {t}"

@@ -119,6 +119,34 @@ def test_train_step_data_parallel_mesh(tiny_setup):
     assert np.isfinite(float(metrics["loss_total"]))
 
 
+def test_top_mask_layers_keeps_final_trims_early_aux():
+    """Reference top_x_layers semantics: the final layer's loss (suffix _0)
+    is ALWAYS kept; top_mask_layers trims the earliest aux layers."""
+    rs = np.random.RandomState(0)
+    q, t, h, w = 4, 2, 8, 8
+
+    def layer():
+        return {
+            "pred_logits": jnp.asarray(rs.randn(1, q, 5).astype(np.float32)),
+            "pred_masks": jnp.asarray(rs.randn(1, q, h, w).astype(np.float32)),
+        }
+
+    final = layer()
+    outputs = {"aux_outputs": [layer(), layer()], **final}
+    tgt = SegTargets(
+        labels=jnp.zeros((1, t), jnp.int32),
+        masks=jnp.asarray((rs.rand(1, t, h, w) > 0.5).astype(np.float32)),
+        valid=jnp.ones((1, t), bool),
+    )
+    crit = SegCriterion(CriterionConfig(num_classes=4, top_mask_layers=2))
+    losses = crit(jax.random.PRNGKey(0), outputs, tgt, match_points=16)
+    suffixes = sorted(
+        k.rsplit("_", 1)[1] for k in losses if k.startswith("loss_mask_ce")
+    )
+    # 3 layers, top=2 -> final (_0) + last aux (_2); first aux (_1) trimmed
+    assert suffixes == ["0", "2"], suffixes
+
+
 def test_loss_boxes():
     from iuvl_tpu.losses.criterion import CriterionConfig, SegCriterion
 
