@@ -98,13 +98,22 @@ class PascalVocInteractiveDataset:
         masks = np.stack(
             [obj == v for v in inst_ids[: self.max_instances]]
         ) if inst_ids else np.zeros((0, *obj.shape), bool)
-        prompts = self.sampler(masks)
+        # Geometry contract: gt masks and sampled prompts live in MODEL INPUT
+        # space — the same resize-longest + bottom/right pad as the image
+        # (reference evaluate_interactive interpolates gt to the padded input,
+        # xdecoder_model.py:705-706, and scales click coords :714-717).
+        s = self.image_size
+        resized = np.zeros((len(masks), s, s), bool)
+        for k, m in enumerate(masks):
+            r = resize_longest_side((m[..., None] * np.uint8(255)).repeat(3, -1), s)[..., 0]
+            resized[k, : r.shape[0], : r.shape[1]] = r > 127
+        prompts = self.sampler(resized)
         image = pad_to_square(
             resize_longest_side(image, self.image_size), self.image_size
         ).astype(np.float32)
         return {
             "image": image,
-            "gt_masks": masks,
+            "gt_masks": resized,
             "spatial_query": prompts,
             "height": obj.shape[0],
             "width": obj.shape[1],

@@ -7,12 +7,15 @@ gt, and sample the next click uniformly from the false-negative region
 (the reference's "(best random)" choice at :881), stopping clicks once
 IoU >= 0.925.
 
-Divergence note (documented per SURVEY.md §2.9): the reference snapshot
-passes the SAM decode outputs into head arguments that are discarded
+Intended-contract note (SURVEY.md §2.9): the reference snapshot passes the
+SAM decode outputs into head arguments that are discarded
 (xdecoder_head.py:55 `mask`/`target_queries`), making clicks inert in the
-committed code. Here the loop is implemented coherently: clicks feed the
-SAM prompt encoder -> two-way mask decoder from a *cached* image embedding
-(one-encode/many-decode), so each click actually refines the mask.
+committed code. Here the *intended* data flow is implemented coherently:
+clicks feed the SAM prompt encoder -> two-way mask decoder from a *cached*
+image embedding, and the resulting ``hyper_in``/``upscaled_embedding`` are
+injected into the unified decoder (``SysLearner.decode_interactive``),
+whose prompt-slot mask is scored. ``unified=False`` keeps the raw-SAM-mask
+scoring as an ablation baseline.
 
 TPU design: the whole 20-round loop is ONE jitted program — a
 ``lax.scan`` over rounds with a static click-capacity buffer; next-click
@@ -58,17 +61,22 @@ def make_interactive_loop(
     max_clicks: int = MAX_CLICKS,
     stop_iou: float = STOP_IOU,
     mask_index: int = 0,
+    unified: bool = True,
 ):
     """Builds a jitted function
-    ``loop(params, sam_embedding, gt_masks, first_clicks, rng) ->
-    (ious (rounds, N), final_masks (N, H, W))``.
+    ``loop(params, sam_embedding, mask_features, multi_scale, gt_masks,
+    first_clicks, rng) -> (ious (rounds, N), final_masks (N, H, W))``.
 
     - ``sam_embedding``: (1, 64, 64, 256) cached encoder output, tiled to N.
-    - ``gt_masks``: (N, H, W) bool at model input resolution.
-    - ``first_clicks``: (N, 2) xy of the initial prompt per target.
+    - ``mask_features`` / ``multi_scale``: cached pixel-decoder products
+      (batch 1; pass None with ``unified=False`` for the SAM-only ablation).
+    - ``gt_masks``: (N, H, W) bool at model INPUT resolution (the caller maps
+      original-size gt through the same resize-longest+pad as the image).
+    - ``first_clicks``: (N, 2) xy in model input space.
     """
 
-    def loop(params, sam_embedding, gt_masks, first_clicks, rng):
+    def loop(params, sam_embedding, mask_features, multi_scale, gt_masks,
+             first_clicks, rng):
         n, gh, gw = gt_masks.shape
         emb = jnp.broadcast_to(sam_embedding, (n, *sam_embedding.shape[1:]))
 
@@ -79,11 +87,18 @@ def make_interactive_loop(
 
         def round_fn(carry, rnd):
             points, labels, rng = carry
-            out = model.apply(
-                params, emb, points=points, labels=labels,
-                method=type(model).decode_prompts,
-            )
-            logits = out["masks"][:, mask_index]  # (N, h4, w4)
+            if unified:
+                logits = model.apply(
+                    params, emb, mask_features, multi_scale,
+                    points=points, labels=labels,
+                    method=type(model).decode_interactive,
+                )  # (N, H/4, W/4)
+            else:
+                out = model.apply(
+                    params, emb, points=points, labels=labels,
+                    method=type(model).decode_prompts,
+                )
+                logits = out["masks"][:, mask_index]  # (N, h4, w4)
             logits = jax.image.resize(logits, (n, gh, gw), method="bicubic")
             pred = logits > 0
             ious = mask_iou(pred, gt_masks)
@@ -154,13 +169,16 @@ def single_shot_eval(
 def run_interactive_eval(
     model, params, sam_embedding, gt_masks, first_clicks, rng,
     evaluator=None, max_clicks: int = MAX_CLICKS,
+    mask_features=None, multi_scale=None, unified: bool = True,
 ) -> dict[str, Any]:
     """Convenience wrapper: run the loop and feed trajectories into an
     InteractiveEvaluator (iuvl_tpu.evaluation.interactive)."""
     import numpy as np
 
-    loop = make_interactive_loop(model, max_clicks=max_clicks)
-    ious, final = loop(params, sam_embedding, gt_masks, first_clicks, rng)
+    unified = unified and mask_features is not None
+    loop = make_interactive_loop(model, max_clicks=max_clicks, unified=unified)
+    ious, final = loop(params, sam_embedding, mask_features, multi_scale,
+                       gt_masks, first_clicks, rng)
     ious = np.asarray(ious)  # (rounds, N)
     if evaluator is not None:
         for i in range(ious.shape[1]):

@@ -318,6 +318,43 @@ class SysLearner(nn.Module):
         image_pe = self.prompt_encoder.get_dense_pe()
         return self.mask_decoder(sam_embedding, image_pe, sparse, dense)
 
+    def encode_interactive(self, images: jax.Array):
+        """One-encode stage of the interactive path: the SAM embedding plus
+        the pixel-decoder products, all prompt-independent and cached across
+        click rounds (reference forward_image_embedding, sam.py:98-100)."""
+        sam_embedding, fpn = self.encode_image(images)
+        mask_features, multi_scale = self.pixel_decoder(fpn)
+        return sam_embedding, mask_features, multi_scale
+
+    def decode_interactive(
+        self,
+        sam_embedding: jax.Array,  # (N, 64, 64, 256) — tiled per target
+        mask_features: jax.Array,  # (1, H/4, W/4, C) cached
+        multi_scale: Any,  # cached pixel-decoder levels (batch 1)
+        points=None, labels=None, boxes=None, masks=None,
+    ) -> jax.Array:
+        """Many-decode stage: SAM prompt decode feeds the unified decoder
+        (the SURVEY §2.9 intended contract — reference xdecoder_model.py:
+        741-742 passes src_output_features/hyper_in into sem_seg_head; the
+        committed reference drops them, here they are consumed for real).
+        Returns (N, H/4, W/4) unified-head mask logits, one per prompt set."""
+        dec = self.decode_prompts(
+            sam_embedding, points=points, labels=labels, boxes=boxes, masks=masks
+        )
+        n = sam_embedding.shape[0]
+        mf = jnp.broadcast_to(mask_features, (n, *mask_features.shape[1:]))
+        ms = [jnp.broadcast_to(x, (n, *x.shape[1:])) for x in multi_scale]
+        out = self.predictor(
+            ms, mf, text_embeddings=None,
+            logit_scale=self.lang_encoder.logit_scale,
+            task="interactive",
+            # hyper_in[:, 0]: the primary mask-token hypernet vector
+            # (reference sam.py:132 collects hyper_in[:, 0, :]).
+            sam_queries=dec["hyper_in"][:, :1],
+            sam_features=dec["upscaled_embedding"],
+        )
+        return out["pred_interactive_masks"][:, 0]
+
     def evaluate_interactive_step(
         self,
         sam_embedding: jax.Array,  # (B, 64, 64, 256) cached
@@ -325,10 +362,9 @@ class SysLearner(nn.Module):
         points: jax.Array,  # (B, P, 2)
         labels: jax.Array,  # (B, P)
     ):
-        """One click-refinement round (reference evaluate_interactive:723-763):
-        SAM prompt decode -> unified head injection is approximated by the
-        classic SAM mask head on the cached embedding; returns per-prompt mask
-        logits at 1/4 resolution."""
+        """One click-refinement round scored by raw SAM masks — kept as the
+        ablation baseline (flag INTERACTIVE_SAM_ONLY); the product path is
+        ``decode_interactive`` through the unified decoder."""
         out = self.decode_prompts(sam_embedding, points=points, labels=labels)
         return out
 
@@ -371,6 +407,13 @@ class SysLearner(nn.Module):
             labels=jnp.zeros((b, 1), jnp.int32),
             boxes=jnp.zeros((b, 4)),
             masks=jnp.zeros((b, grid4, grid4, 1)),
+        )
+        mask_features, multi_scale = self.pixel_decoder(fpn)
+        self.predictor(
+            multi_scale, mask_features, text_embeddings=None,
+            logit_scale=self.lang_encoder.logit_scale, task="interactive",
+            sam_queries=dec["hyper_in"][:, :1],
+            sam_features=dec["upscaled_embedding"],
         )
         ids = jnp.zeros((1, c.contxt_len), jnp.int32)
         text = self.encode_text_tokens(ids)

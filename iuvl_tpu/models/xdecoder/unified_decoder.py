@@ -146,6 +146,8 @@ class UnifiedDecoder(nn.Module):
     num_rounds: int = 3
     captioning_step: int = 50
     task_captioning: bool = True
+    task_interactive: bool = True
+    sam_dim: int = 32  # SAM mask-decoder channel (transformer_dim // 8)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -186,6 +188,21 @@ class UnifiedDecoder(nn.Module):
                 "pos_embed_caping", nn.initializers.normal(1.0),
                 (self.contxt_len, self.hidden_dim),
             )
+        if self.task_interactive:
+            # SAM prompt-decode injection (SURVEY §2.9 intended contract:
+            # reference xdecoder_model.py:741-742 + sam/modeling/sam.py:103-136
+            # pass src_output_features/hyper_in_features into the head; the
+            # committed reference drops them — here they are first-class):
+            # hyper_in mask-token vectors become extra decoder queries, the
+            # prompt-conditioned upscaled embedding modulates mask features.
+            self.sam_query_proj = nn.Dense(
+                self.hidden_dim, dtype=self.dtype, name="sam_query_proj"
+            )
+            self.sam_feat_proj = nn.Dense(
+                self.mask_dim, dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                name="sam_feat_proj",
+            )
 
     # ------------------------------------------------------------------ #
     def _prepare_memory(self, multi_scale: Sequence[jax.Array]):
@@ -203,7 +220,8 @@ class UnifiedDecoder(nn.Module):
         return srcs, poss, sizes
 
     def _attn_bias_from_mask(
-        self, outputs_mask: jax.Array, size: tuple[int, int], extra_rows: int = 0
+        self, outputs_mask: jax.Array, size: tuple[int, int], extra_rows: int = 0,
+        force_unmask_first_extra: bool = True,
     ) -> jax.Array:
         """Mask-attention bias for the next layer's cross-attention.
         Reference xdecoder.py:463-471 + :266-269. Returns (B, 1, N, HW) fp32
@@ -224,7 +242,7 @@ class UnifiedDecoder(nn.Module):
             disallow = jnp.concatenate(
                 [disallow, jnp.zeros((b, extra_rows, h * w), bool)], axis=1
             )
-        if disallow.shape[1] > self.num_queries:
+        if disallow.shape[1] > self.num_queries and force_unmask_first_extra:
             disallow = disallow.at[:, self.num_queries].set(False)
         return jnp.where(disallow, NEG_INF, 0.0)[:, None].astype(jnp.float32)
 
@@ -258,6 +276,9 @@ class UnifiedDecoder(nn.Module):
             dec = jnp.concatenate(
                 [dec[:, : nq - 1], cls_token, dec[:, nq : 2 * nq - 1]], axis=1
             )
+        elif task == "interactive":
+            # Keep the SAM prompt-query slots after [obj; cls].
+            dec = jnp.concatenate([dec[:, : nq - 1], cls_token, dec[:, nq:]], axis=1)
         else:
             dec = jnp.concatenate([dec[:, : nq - 1], cls_token], axis=1)
 
@@ -292,12 +313,21 @@ class UnifiedDecoder(nn.Module):
         grounding_valid: Optional[jax.Array] = None,  # (B, G) bool
         caption_tokens: Optional[jax.Array] = None,  # (B, 77, C) embeddings
         logit_scale: Optional[jax.Array] = None,
+        sam_queries: Optional[jax.Array] = None,  # (B, P, sam_dim) hyper_in
+        sam_features: Optional[jax.Array] = None,  # (B, H/4, W/4, sam_dim)
         training: bool = False,
     ) -> dict[str, Any]:
         assert len(multi_scale) == self.num_feature_levels
         srcs, poss, sizes = self._prepare_memory(multi_scale)
         b = srcs[0].shape[0]
         nq = self.num_queries
+
+        if sam_features is not None:
+            # Prompt-conditioned mask-feature modulation (zero-init proj: the
+            # seg path is untouched at init, training learns the injection).
+            mask_features = mask_features + self.sam_feat_proj(
+                sam_features.astype(self.dtype)
+            )
 
         output = jnp.broadcast_to(
             self.query_feat[None], (b, nq, self.hidden_dim)
@@ -309,9 +339,22 @@ class UnifiedDecoder(nn.Module):
         base_mask = build_base_self_mask(nq, self.contxt_len)
         use_grounding = task in ("seg_grounding", "grounding_eval")
         use_context = task in ("vlp", "llm", "vqa")
+        use_interactive = task == "interactive"
 
         grounding = grounding_pos = None
-        if use_grounding:
+        if use_interactive:
+            assert sam_queries is not None
+            p = sam_queries.shape[1]
+            sq = self.sam_query_proj(sam_queries.astype(self.dtype))
+            total = nq + p
+            m = np.ones((total, total), dtype=bool)
+            m[:nq, :nq] = base_mask[:nq, :nq]
+            m[nq:, :] = False  # prompt slots attend obj/cls/each other
+            m[:nq, nq:] = True  # base queries blind to prompts (seg intact)
+            self_bias = jnp.where(jnp.asarray(m), NEG_INF, 0.0)[None, None]
+            output = jnp.concatenate([output, sq], axis=1)
+            query_pos = jnp.concatenate([query_pos, sq], axis=1)
+        elif use_grounding:
             assert grounding_tokens is not None
             g = grounding_tokens.shape[1]
             total = nq + (nq - 1) + g
@@ -365,7 +408,11 @@ class UnifiedDecoder(nn.Module):
             lvl = i % self.num_feature_levels
             extra_rows = self.contxt_len if use_context else 0
             cross_bias = self._attn_bias_from_mask(
-                results["outputs_mask"], sizes[lvl], extra_rows=extra_rows
+                results["outputs_mask"], sizes[lvl], extra_rows=extra_rows,
+                # Interactive prompt rows keep their own mask-attention; the
+                # reference quirk of force-unmasking row nq applies only to
+                # the grounding/caption extra blocks.
+                force_unmask_first_extra=not use_interactive,
             )
             output, new_grounding = self.layers[i](
                 output, srcs[lvl], query_pos, poss[lvl].astype(self.dtype),
@@ -401,4 +448,7 @@ class UnifiedDecoder(nn.Module):
             # Final-layer object-query features for the LLM projector
             # (reference xdecoder.py:306-308).
             out["image_feature"] = self.decoder_norm(output)[:, : nq - 1]
+        if use_interactive:
+            # Per-prompt masks from the unified head (rows after [obj; cls]).
+            out["pred_interactive_masks"] = predictions[-1]["outputs_mask"][:, nq:]
         return out

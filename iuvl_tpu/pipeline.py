@@ -247,30 +247,45 @@ class XDecoderPipeline:
         interactive_evaluation.py)."""
         from .data.datasets import build_dataset
         from .evaluation import InteractiveEvaluator
-        from .inference.interactive import run_interactive_eval
+        from .inference.interactive import make_interactive_loop
 
         ds = build_dataset(name, self.cfg.get(name.upper(), {}), "val")
         max_clicks = self.cfg.get("MAX_CLICKS", 20)
+        unified = not self.cfg.get("INTERACTIVE_SAM_ONLY", False)
         evaluator = InteractiveEvaluator(max_clicks=max_clicks)
         encode_fn = jax.jit(
-            lambda p, img: self.model.apply(p, img, method=SysLearner.encode_image)
+            lambda p, img: self.model.apply(
+                p, img, method=SysLearner.encode_interactive
+            )
+        )
+        # One jitted loop reused across images (recompiles only per distinct
+        # instance count N; gt is always at the static input resolution).
+        loop = make_interactive_loop(
+            self.model, max_clicks=max_clicks, unified=unified
         )
         n = len(ds) if max_batches is None else min(len(ds), max_batches)
         for i in range(n):
             item = ds[i]
-            sam_emb, _ = encode_fn(params, jnp.asarray(item["image"])[None])
+            if len(item["gt_masks"]) == 0:
+                continue
+            sam_emb, mask_features, multi_scale = encode_fn(
+                params, jnp.asarray(item["image"])[None]
+            )
             gt = jnp.asarray(item["gt_masks"])
-            # First click: a random prompt pixel per instance.
+            # First click: a random prompt pixel per instance (prompts are in
+            # model input space, matching the gt masks — see eval_datasets).
             firsts = []
             for m in np.asarray(item["spatial_query"]["rand_shape"]):
                 ys, xs = np.nonzero(m)
                 firsts.append([xs[0], ys[0]] if len(ys) else [0, 0])
-            run_interactive_eval(
-                self.model, params, sam_emb, gt,
+            ious, _ = loop(
+                params, sam_emb, mask_features, multi_scale, gt,
                 jnp.asarray(np.asarray(firsts, np.float32)),
-                jax.random.PRNGKey(i), evaluator=evaluator,
-                max_clicks=max_clicks,
+                jax.random.PRNGKey(i),
             )
+            ious = np.asarray(ious)
+            for k in range(ious.shape[1]):
+                evaluator.process(ious[:, k])
         return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
 
     @staticmethod
