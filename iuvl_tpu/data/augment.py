@@ -52,6 +52,54 @@ def large_scale_jitter(
     return out_img, (out_masks > 0.5).astype(np.float32)
 
 
+def lsj_apply(
+    image: np.ndarray,  # (H, W, 3)
+    masks: np.ndarray,  # (N, H, W) bool — gt at ORIGINAL resolution
+    rng: np.random.RandomState,
+    image_size: int = 1024,
+    mask_stride: int = 4,
+    min_scale: float = 0.1,
+    max_scale: float = 2.0,
+    flip_prob: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """LSJ with masks emitted directly at the model's mask stride: one
+    nearest-neighbor gather per mask stack instead of N full-res bilinear
+    resizes (the host-side hot path of the COCO step1 mapper; semantics per
+    the reference ResizeScale+FixedSizeCrop pipeline).
+    Returns (image (S, S, 3) float32, masks (N, S/stride, S/stride) float32).
+    """
+    h, w = image.shape[:2]
+    if rng.rand() < flip_prob:
+        image = image[:, ::-1]
+        masks = masks[:, :, ::-1]
+
+    scale = rng.uniform(min_scale, max_scale)
+    target = scale * image_size
+    ratio = min(target / h, target / w)
+    nh, nw = max(1, int(h * ratio + 0.5)), max(1, int(w * ratio + 0.5))
+    y_off = rng.randint(0, max(nh - image_size, 0) + 1)
+    x_off = rng.randint(0, max(nw - image_size, 0) + 1)
+    ch, cw = min(nh, image_size), min(nw, image_size)
+
+    out_img = np.zeros((image_size, image_size, image.shape[2]), np.float32)
+    img_r = _resize(image, nh, nw)
+    out_img[:ch, :cw] = img_r[y_off : y_off + ch, x_off : x_off + cw]
+
+    ms = image_size // mask_stride
+    out_masks = np.zeros((len(masks), ms, ms), np.float32)
+    if len(masks):
+        # Output grid (canvas coords at stride centers) -> source pixel.
+        ys = np.arange(ms) * mask_stride + mask_stride // 2
+        xs = np.arange(ms) * mask_stride + mask_stride // 2
+        vy = ys < ch
+        vx = xs < cw
+        sy = np.clip(((ys + y_off) * h / nh).astype(int), 0, h - 1)
+        sx = np.clip(((xs + x_off) * w / nw).astype(int), 0, w - 1)
+        gathered = masks[:, sy][:, :, sx].astype(np.float32)
+        out_masks = gathered * vy[None, :, None] * vx[None, None, :]
+    return out_img, out_masks
+
+
 def _resize(image: np.ndarray, nh: int, nw: int) -> np.ndarray:
     h, w = image.shape[:2]
     ys = np.clip(((np.arange(nh) + 0.5) * h / nh - 0.5), 0, h - 1)

@@ -49,7 +49,8 @@ class SyntheticSegDataset:
     executable without real data."""
 
     def __init__(self, num_classes=10, image_size=1024, max_instances=8,
-                 length=64, seed=0, mask_stride=4):
+                 length=64, seed=0, mask_stride=4, with_step1=False,
+                 text_len=24):
         self.num_classes = num_classes
         self.image_size = image_size
         self.max_instances = max_instances
@@ -57,6 +58,15 @@ class SyntheticSegDataset:
         self.seed = seed
         self.mask_stride = mask_stride
         self.sampler = ShapeSampler(max_candidate=1, seed=seed)
+        self.step1 = None
+        if with_step1:
+            from .step1 import Step1ExtrasBuilder
+            from .tokenizer import build_tokenizer
+
+            ms = image_size // mask_stride
+            self.step1 = Step1ExtrasBuilder(
+                build_tokenizer(), text_len=text_len, mask_hw=(ms, ms)
+            )
 
     def __len__(self):
         return self.length
@@ -77,7 +87,7 @@ class SyntheticSegDataset:
             masks[k, y0:y1, x0:x1] = 1.0
             labels[k] = rs.randint(0, self.num_classes)
             valid[k] = True
-        return {
+        item = {
             "image": image,
             "labels": labels,
             "masks": masks,
@@ -85,6 +95,29 @@ class SyntheticSegDataset:
             "height": s,
             "width": s,
         }
+        if self.step1 is not None:
+            names = [f"object {labels[k]}" for k in range(n_inst)]
+            caption = "a photo of " + " and ".join(
+                f"a {n}" for n in names[:3]
+            ) + " in a scene"
+            item.update(
+                self.step1(
+                    caption, names, masks[:n_inst], mode="class", rs=rs
+                )
+            )
+        return item
+
+
+@register_dataset("synthetic_seg_step1")
+def _build_synthetic_step1(cfg: dict, split: str):
+    return SyntheticSegDataset(
+        num_classes=cfg.get("NUM_CLASSES", 10),
+        image_size=cfg.get("IMAGE_SIZE", 1024),
+        max_instances=cfg.get("MAX_INSTANCES", 8),
+        length=cfg.get("LENGTH", 64),
+        with_step1=True,
+        text_len=cfg.get("TEXT_LEN", 24),
+    )
 
 
 @register_dataset("synthetic_seg")
@@ -94,6 +127,8 @@ def _build_synthetic(cfg: dict, split: str):
         image_size=cfg.get("IMAGE_SIZE", 1024),
         max_instances=cfg.get("MAX_INSTANCES", 8),
         length=cfg.get("LENGTH", 64),
+        with_step1=bool(cfg.get("WITH_STEP1", False)),
+        text_len=cfg.get("TEXT_LEN", 24),
     )
 
 
@@ -101,29 +136,90 @@ def _build_synthetic(cfg: dict, split: str):
 # COCO panoptic (real data when $DATASET provides it)
 # --------------------------------------------------------------------- #
 class CocoPanopticDataset:
-    """COCO panoptic + captions mapper
-    (reference dataset_mappers/coco_panoptic_interactive_dataset_mapper.py).
-    Expects the standard layout under $DATASET/coco: panoptic json + pngs."""
+    """COCO panoptic + captions + grounding step1 mapper
+    (reference dataset_mappers/coco_panoptic_interactive_dataset_mapper.py
+    :175-329 + registration/register_coco_panoptic_annos_caption_grounding.py
+    :120-165). Standard layout under $DATASET/coco: panoptic json + pngs,
+    captions_{split}.json, grounding_{split}.json (each optional — absent
+    files degrade gracefully to the pure-seg stream).
+
+    Train mode applies LSJ (scale 0.1-2.0 + random crop/pad + hflip,
+    reference COCO.INPUT) jointly to image, instance masks and grounding
+    masks; caption/grounding extras are emitted as static token-ID arrays
+    (see iuvl_tpu/data/step1.py) and spatial prompts via ShapeSampler."""
 
     def __init__(self, root: str, split: str = "train2017", image_size=1024,
-                 max_instances=100, mask_stride=4):
+                 max_instances=100, mask_stride=4, train=True, lsj=True,
+                 step1=True, text_len=24, seed=0):
         self.root = root
         self.split = split
         self.image_size = image_size
         self.max_instances = max_instances
         self.mask_stride = mask_stride
-        ann_path = os.path.join(
-            root, "coco", "annotations", f"panoptic_{split}.json"
-        )
-        with open(ann_path) as f:
+        self.train = train
+        self.lsj = lsj and train
+        self.seed = seed
+        ann_dir = os.path.join(root, "coco", "annotations")
+        with open(os.path.join(ann_dir, f"panoptic_{split}.json")) as f:
             data = json.load(f)
         self.annotations = data["annotations"]
         self.images = {im["id"]: im for im in data["images"]}
         cats = sorted(data["categories"], key=lambda c: c["id"])
         self.cat_to_contiguous = {c["id"]: i for i, c in enumerate(cats)}
+        self.cat_names = {c["id"]: c["name"] for c in cats}
+
+        self.captions: dict[int, list[str]] = {}
+        cap_path = os.path.join(ann_dir, f"captions_{split}.json")
+        if train and os.path.exists(cap_path):
+            with open(cap_path) as f:
+                for a in json.load(f)["annotations"]:
+                    self.captions.setdefault(int(a["image_id"]), []).append(
+                        a["caption"]
+                    )
+        self.grounding: dict[int, list[dict]] = {}
+        grd_path = os.path.join(ann_dir, f"grounding_{split}.json")
+        if train and os.path.exists(grd_path):
+            with open(grd_path) as f:
+                for a in json.load(f)["annotations"]:
+                    self.grounding.setdefault(int(a["image_id"]), []).append(a)
+
+        self.step1 = None
+        if step1 and train:
+            from .step1 import Step1ExtrasBuilder
+            from .tokenizer import build_tokenizer
+
+            ms = image_size // mask_stride
+            self.step1 = Step1ExtrasBuilder(
+                build_tokenizer(), text_len=text_len, mask_hw=(ms, ms)
+            )
+        self.sampler = ShapeSampler(max_candidate=3, seed=seed) if train else None
 
     def __len__(self):
         return len(self.annotations)
+
+    @staticmethod
+    def _rasterize_poly(segmentation, h, w) -> np.ndarray:
+        """COCO polygon/RLE -> bool mask without pycocotools (cv2 fillPoly
+        for polygons; uncompressed RLE counts supported)."""
+        mask = np.zeros((h, w), np.uint8)
+        if isinstance(segmentation, dict):  # uncompressed RLE
+            counts = segmentation.get("counts")
+            if isinstance(counts, list):
+                flat = np.zeros(h * w, np.uint8)
+                pos, val = 0, 0
+                for c in counts:
+                    if val:
+                        flat[pos : pos + c] = 1
+                    pos += c
+                    val ^= 1
+                mask = flat.reshape(w, h).T  # COCO RLE is column-major
+            return mask.astype(bool)
+        import cv2
+
+        for poly in segmentation:
+            pts = np.asarray(poly, np.float64).reshape(-1, 2).astype(np.int32)
+            cv2.fillPoly(mask, [pts], 1)
+        return mask.astype(bool)
 
     def __getitem__(self, i: int) -> dict:
         from PIL import Image
@@ -138,28 +234,112 @@ class CocoPanopticDataset:
         image = np.asarray(Image.open(img_path).convert("RGB"))
         pan = np.asarray(Image.open(pan_path), np.uint32)
         seg_id = pan[..., 0] + 256 * pan[..., 1] + 256 * 256 * pan[..., 2]
+        h, w = image.shape[:2]
+        rs = np.random.RandomState((self.seed * 1000003 + i) % (2 ** 31))
 
-        image = pad_to_square(
-            resize_longest_side(image, self.image_size), self.image_size
-        ).astype(np.float32)
+        segments = [
+            s for s in ann["segments_info"] if not s.get("iscrowd", 0)
+        ][: self.max_instances]
+        inst_masks = np.stack(
+            [seg_id == s["id"] for s in segments]
+        ) if segments else np.zeros((0, h, w), bool)
 
-        s = self.image_size
-        ms = s // self.mask_stride
+        # Grounding annotations ("text" mode) or class-name fallback.
+        grd_anns = self.grounding.get(int(ann["image_id"]), [])
+        if grd_anns:
+            mode = "text"
+            grd_masks = np.stack(
+                [
+                    self._rasterize_poly(a["segmentation"], h, w)
+                    for a in grd_anns
+                ]
+            )
+            grd_texts = [
+                a["sentences"][rs.randint(len(a["sentences"]))]["raw"].lower()
+                for a in grd_anns
+            ]
+        else:
+            mode = "class"
+            grd_masks = inst_masks
+            grd_texts = [self.cat_names[s["category_id"]] for s in segments]
+
+        s_ = self.image_size
+        ms = s_ // self.mask_stride
+        n_inst = len(segments)
+        if self.lsj:
+            from .augment import lsj_apply
+
+            all_masks = (
+                np.concatenate([inst_masks, grd_masks])
+                if len(grd_masks) and mode == "text"
+                else inst_masks
+            )
+            image, all_small = lsj_apply(
+                image, all_masks, rs, image_size=s_, mask_stride=self.mask_stride
+            )
+            inst_small = all_small[:n_inst]
+            grd_small = all_small[n_inst:] if mode == "text" else inst_small
+        else:
+            image = pad_to_square(
+                resize_longest_side(image, s_), s_
+            ).astype(np.float32)
+            inst_small = _downsample_masks(inst_masks, s_, ms)
+            grd_small = (
+                _downsample_masks(grd_masks, s_, ms)
+                if mode == "text" else inst_small
+            )
+
+        # Drop instances emptied by the crop (reference filter_empty).
+        keep = inst_small.sum((-2, -1)) > 0 if n_inst else np.zeros(0, bool)
         labels = np.zeros(self.max_instances, np.int32)
         masks = np.zeros((self.max_instances, ms, ms), np.float32)
         valid = np.zeros(self.max_instances, bool)
-        for k, seg in enumerate(ann["segments_info"][: self.max_instances]):
-            m = (seg_id == seg["id"]).astype(np.uint8) * 255
-            m = resize_longest_side(m[..., None].repeat(3, -1), ms)[..., 0]
-            mm = np.zeros((ms, ms), np.float32)
-            mm[: m.shape[0], : m.shape[1]] = m > 127
-            masks[k] = mm
+        k = 0
+        kept_names = []
+        for j, seg in enumerate(segments):
+            if not keep[j]:
+                continue
+            masks[k] = inst_small[j]
             labels[k] = self.cat_to_contiguous[seg["category_id"]]
+            kept_names.append(self.cat_names[seg["category_id"]])
             valid[k] = True
-        return {
+            k += 1
+        item = {
             "image": image, "labels": labels, "masks": masks, "valid": valid,
             "height": meta["height"], "width": meta["width"],
         }
+        if self.sampler is not None:
+            item["spatial_query"] = self.sampler(masks[:k].astype(bool))
+        if self.step1 is not None:
+            caps = self.captions.get(int(ann["image_id"]))
+            caption = caps[rs.randint(len(caps))] if caps else None
+            if mode == "class":
+                grd_keep = keep
+            else:
+                grd_keep = grd_small.sum((-2, -1)) > 0 if len(grd_small) else (
+                    np.zeros(0, bool)
+                )
+            g_texts = [t for t, kk in zip(grd_texts, grd_keep) if kk]
+            g_masks = grd_small[grd_keep] if len(grd_small) else grd_small
+            item.update(
+                self.step1(caption, g_texts, g_masks, mode=mode, rs=rs)
+            )
+        return item
+
+
+def _downsample_masks(masks: np.ndarray, long_side: int, ms: int) -> np.ndarray:
+    """Resize-longest + pad each bool mask to (ms, ms) by nearest gather."""
+    if not len(masks):
+        return np.zeros((0, ms, ms), np.float32)
+    h, w = masks.shape[1:]
+    scale = long_side / max(h, w)
+    nh = min(ms, max(1, int(h * scale / (long_side / ms) + 0.5)))
+    nw = min(ms, max(1, int(w * scale / (long_side / ms) + 0.5)))
+    sy = np.clip((np.arange(nh) * h / nh).astype(int), 0, h - 1)
+    sx = np.clip((np.arange(nw) * w / nw).astype(int), 0, w - 1)
+    out = np.zeros((len(masks), ms, ms), np.float32)
+    out[:, :nh, :nw] = masks[:, sy][:, :, sx]
+    return out
 
 
 @register_dataset("coco_2017_train_panoptic")
@@ -170,9 +350,15 @@ def _build_coco_train(cfg, split):
             "$DATASET not set; COCO unavailable. Use 'synthetic_seg' or set "
             "DATASET to a root containing coco/ (reference layout)."
         )
-    return CocoPanopticDataset(root, "train2017", **{
-        k: v for k, v in cfg.items() if k in ("image_size", "max_instances")
-    })
+    return CocoPanopticDataset(
+        root, "train2017",
+        image_size=cfg.get("IMAGE_SIZE", 1024),
+        max_instances=cfg.get("MAX_INSTANCES", 100),
+        train=True,
+        lsj=cfg.get("LSJ", True),
+        step1=cfg.get("STEP1", True),
+        text_len=cfg.get("TEXT_LEN", 24),
+    )
 
 
 @register_dataset("coco_2017_val_panoptic")
@@ -180,7 +366,9 @@ def _build_coco_val(cfg, split):
     root = dataset_root()
     if root is None:
         raise FileNotFoundError("$DATASET not set; COCO unavailable.")
-    return CocoPanopticDataset(root, "val2017")
+    return CocoPanopticDataset(
+        root, "val2017", image_size=cfg.get("IMAGE_SIZE", 1024), train=False
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -227,11 +227,13 @@ class SyntheticInstructionDataset:
     """Conversation stream with <image> token (instruction tuning)."""
 
     def __init__(self, image_size=1024, length=32, seed=0, tokenizer=None,
-                 max_len=256):
+                 max_len=256, vocab_size=None, context_len=CONTEXT_LEN):
         self.image_size = image_size
         self.length = length
         self.seed = seed
         self.max_len = max_len
+        self.vocab_size = vocab_size  # clamp ids for tiny test LLMs
+        self.context_len = context_len
         self.tokenizer = tokenizer or build_tokenizer()
 
     def __len__(self):
@@ -239,7 +241,9 @@ class SyntheticInstructionDataset:
 
     def __getitem__(self, i: int) -> dict[str, Any]:
         from ..models.llm.conversation import default_conversation
-        from ..models.llm.multimodal import IGNORE_INDEX, tokenizer_image_token
+        from ..models.llm.multimodal import (
+            IGNORE_INDEX, IMAGE_TOKEN_INDEX, tokenizer_image_token,
+        )
 
         rs = np.random.RandomState(self.seed * 104729 + i)
         s = self.image_size
@@ -257,20 +261,35 @@ class SyntheticInstructionDataset:
         labels = [IGNORE_INDEX] * (len(ids) - len(answer_ids)) + answer_ids
         ids = np.asarray(ids[: self.max_len], np.int32)
         labels = np.asarray(labels[: self.max_len], np.int32)
-        return {"image": image, "input_ids": ids, "labels": labels}
+        if self.vocab_size:
+            keep_img = ids == IMAGE_TOKEN_INDEX
+            ids = np.where(keep_img, ids, ids % self.vocab_size)
+            labels = np.where(labels == IGNORE_INDEX, labels,
+                              labels % self.vocab_size)
+        # Question context for the unified head's 'llm' task (CLIP tokens,
+        # reference vlpencoder get_text_token_embeddings instruction path).
+        qt = self.tokenizer([question], max_length=self.context_len)
+        return {
+            "image": image, "input_ids": ids, "labels": labels,
+            "clip_ids": qt["input_ids"][0], "clip_mask": qt["attention_mask"][0],
+        }
 
 
 @register_dataset("instruction_train")
 def _build_instruction(cfg, split):
     return SyntheticInstructionDataset(
-        image_size=cfg.get("IMAGE_SIZE", 1024), length=cfg.get("LENGTH", 32)
+        image_size=cfg.get("IMAGE_SIZE", 1024), length=cfg.get("LENGTH", 32),
+        max_len=cfg.get("MAX_LEN", 256), vocab_size=cfg.get("VOCAB_SIZE"),
+        context_len=cfg.get("CONTEXT_LEN", CONTEXT_LEN),
     )
 
 
 @register_dataset("synthetic_instruction")
 def _build_synth_instruction(cfg, split):
     return SyntheticInstructionDataset(
-        image_size=cfg.get("IMAGE_SIZE", 64), length=cfg.get("LENGTH", 8)
+        image_size=cfg.get("IMAGE_SIZE", 64), length=cfg.get("LENGTH", 8),
+        max_len=cfg.get("MAX_LEN", 64), vocab_size=cfg.get("VOCAB_SIZE"),
+        context_len=cfg.get("CONTEXT_LEN", CONTEXT_LEN),
     )
 
 

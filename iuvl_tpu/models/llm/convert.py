@@ -45,3 +45,29 @@ def convert_llama(sd: Mapping, layers: int) -> dict:
             "down_proj": {"kernel": _np(sd[f"{h}.mlp.down_proj.weight"]).T},
         }
     return {"params": p}
+
+
+def load_hf_llama_params(path: str, cfg) -> dict:
+    """Read an HF LLaMA/Vicuna checkpoint directory (sharded .safetensors or
+    pytorch_model*.bin) and convert to this package's tree (the stand-in for
+    the reference's AutoModelForCausalLM.from_pretrained, llm/load_llm.py:
+    29-49)."""
+    import glob
+    import os
+
+    sd: dict = {}
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            sd.update(load_file(f))
+    else:
+        import torch
+
+        bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+        if not bins:
+            raise FileNotFoundError(f"no LLaMA weights under {path}")
+        for f in bins:
+            sd.update(torch.load(f, map_location="cpu"))
+    return convert_llama(sd, cfg.layers)

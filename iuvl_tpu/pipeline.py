@@ -57,12 +57,18 @@ class XDecoderPipeline:
             img_size=c.get("IMAGE_SIZE", 1024),
             syslearner_dim=c.get("SYSLEARNER_DIM", 512),
             mask_proposals=c.get("MASK_PROPOSAL", 100),
+            contxt_len=c.get("CONTEXT_LEN", 77),
+            vocab_size=c.get("TEXT_VOCAB_SIZE", 49408),
             text_width=c.get("TEXT_WIDTH", c.get("SYSLEARNER_DIM", 512)),
             text_layers=c.get("TEXT_LAYERS", 12),
+            text_heads=c.get("TEXT_HEADS", 8),
+            pixel_decoder_layers=c.get("PIXEL_DECODER_LAYERS", 6),
+            nheads=c.get("NHEADS", 8),
+            dim_feedforward=c.get("DIM_FEEDFORWARD", 2048),
             dtype=c.get("DTYPE", "bfloat16"),
             attn_impl=c.get("ATTN_IMPL", "xla"),
             msdeform_impl=c.get("MSDEFORM_IMPL", "xla"),
-            llm_dim=4096 if c.get("Load_LLM") else 0,
+            llm_dim=(c.get("LLM_DIM", 4096) if c.get("Load_LLM") else 0),
         )
 
     def initialize_model(self, rng=None):

@@ -71,7 +71,16 @@ def make_joint_train_step(
     or None; seg_extras adds the caption/grounding stream targets
     (phrase_embs/phrase_valid/phrase_groups for loss_captions;
     grounding_tokens/valid/masks/class_embs/groups/target_valid/task_weight
-    for loss_groundings). None members are static branch switches."""
+    for loss_groundings). None members are static branch switches.
+
+    Live-text mode (the step1 product path): ``text_embeddings`` may be a
+    dict {ids (K, L), mask} and seg_extras may carry token IDS instead of
+    embeddings — phrase_ids/phrase_mask (B, P, L) and grounding_ids/
+    grounding_mask (B, G, L) + grounding_target_valid (B, G). The step then
+    computes every text embedding from LIVE params inside loss_fn so the
+    text tower trains through the seg/caption/grounding losses (reference
+    computes them inside forward_seg for the same reason,
+    xdecoder_model.py:336 + prepare_targets:968-1020)."""
     from ..losses.grounding import (
         GroundingConfig,
         GroundingTargets,
@@ -87,7 +96,41 @@ def make_joint_train_step(
     def loss_fn(params, seg_images, text_embeddings, targets, vlp_batch,
                 seg_extras, rng):
         losses = {}
-        seg_extras = seg_extras or {}
+        seg_extras = dict(seg_extras or {})
+
+        # ---- live text-tower embeddings (gradient flows into the text
+        # encoder, matching the reference's in-forward get_text_embeddings /
+        # get_text_token_embeddings; ADVICE r1: no stale constant caches) --- #
+        if isinstance(text_embeddings, dict):
+            text_embeddings = model.apply(
+                params, text_embeddings["ids"], text_embeddings["mask"],
+                method=type(model).encode_text_embeddings,
+            )  # (K, D) normalized, live params
+        if "phrase_ids" in seg_extras:
+            pid, pmask = seg_extras["phrase_ids"], seg_extras["phrase_mask"]
+            bb, pp, ll = pid.shape
+            _, cls = model.apply(
+                params, pid.reshape(bb * pp, ll), pmask.reshape(bb * pp, ll),
+                method=type(model).encode_text_tokens,
+            )
+            seg_extras["phrase_embs"] = cls.reshape(bb, pp, -1)
+        if "grounding_ids" in seg_extras:
+            gid, gmask = seg_extras["grounding_ids"], seg_extras["grounding_mask"]
+            bb, gg, ll = gid.shape
+            tok, cls = model.apply(
+                params, gid.reshape(bb * gg, ll), gmask.reshape(bb * gg, ll),
+                method=type(model).encode_text_tokens,
+            )
+            c = tok.shape[-1]
+            # Flattened per-token grounding queries (the reference's ragged
+            # query_emb concat, xdecoder_model.py:1000-1006, made static).
+            seg_extras["grounding_tokens"] = tok.reshape(bb, gg * ll, c)
+            seg_extras["grounding_valid"] = gmask.reshape(bb, gg * ll).astype(bool)
+            seg_extras["grounding_class_embs"] = cls.reshape(bb, gg, c)
+            # NB: per-slot target validity must arrive as
+            # ``grounding_target_valid`` (B, G); ``grounding_valid`` here is
+            # the per-TOKEN decoder-input validity (B, G*L).
+
         has_grounding = "grounding_tokens" in seg_extras
         outputs = model.apply(
             params, seg_images, text_embeddings,

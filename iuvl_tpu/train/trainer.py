@@ -83,23 +83,49 @@ class Trainer:
             )
         )
         match_points = cfg.get("MATCH_POINTS", cfg.get("TRAIN_NUM_POINTS", 12544))
-        if cfg.get("LOADER", {}).get("JOINT"):
-            from .train_step import make_joint_train_step
 
-            step_fn = make_joint_train_step(
-                model, criterion, tx, match_points=match_points
-            )
-        else:
-            step_fn = make_train_step(model, criterion, tx, match_points=match_points)
-        return model, params, tx, criterion, step_fn, epochs, steps_per_epoch
+        def make_step(use_joint: bool):
+            if use_joint:
+                from .train_step import make_joint_train_step
+
+                return make_joint_train_step(
+                    model, criterion, tx, match_points=match_points,
+                    language_loss_layers=cfg.get("TOP_LANGUAGE_LAYERS", 10),
+                )
+            return make_train_step(model, criterion, tx, match_points=match_points)
+
+        return model, params, tx, criterion, make_step, epochs, steps_per_epoch
 
     def _shard(self, tree, spec):
         return jax.device_put(tree, NamedSharding(self.mesh, spec))
 
     # ------------------------------------------------------------------ #
+    _STEP1_KEYS = (
+        "phrase_ids", "phrase_mask", "phrase_valid", "phrase_groups",
+        "grounding_ids", "grounding_mask", "grounding_masks",
+        "grounding_groups", "grounding_task_weight",
+    )
+
+    def _seg_extras_from_batch(self, seg_batch) -> dict | None:
+        """Step1 caption/grounding extras (token IDS; the step embeds them
+        with live params — reference prepare_targets xdecoder_model.py:
+        968-1020)."""
+        if "phrase_ids" not in seg_batch:
+            return None
+        extras = {
+            k: self._shard(jnp.asarray(seg_batch[k]), P("data"))
+            for k in self._STEP1_KEYS if k in seg_batch
+        }
+        extras["grounding_target_valid"] = self._shard(
+            jnp.asarray(seg_batch["grounding_valid"]), P("data")
+        )
+        return extras
+
     def train(self) -> dict[str, Any]:
         cfg = self.cfg
-        model, params, tx, criterion, step_fn, epochs, steps_per_epoch = self._setup()
+        if cfg.get("Load_LLM"):
+            return self.train_llm()
+        model, params, tx, criterion, make_step, epochs, steps_per_epoch = self._setup()
         state = self._shard(TrainState.create(params, tx), P())
 
         # Resume (reference utils_trainer.py:93-115).
@@ -108,13 +134,19 @@ class Trainer:
             logger.info("resumed from step %s", int(state.step))
 
         batch_size = cfg.get("BATCH_SIZE", jax.device_count())
-        train_name, loader = self.pipeline.get_dataloaders("train", batch_size)
-        from ..data.datasets import JointLoader, batched_iterator, build_dataset, prefetch_iterator
+        from ..data.datasets import (
+            JointLoader, batched_iterator, build_dataset, prefetch_iterator,
+        )
 
-        joint = bool(cfg.get("LOADER", {}).get("JOINT"))
         train_names = cfg.get("DATASETS", {}).get("TRAIN") or ["synthetic_seg"]
         vlp_names = [n for n in train_names if "vlp" in n]
-        joint = joint and bool(vlp_names)
+        seg_names = [n for n in train_names if n not in vlp_names]
+        train_name = (seg_names or train_names)[0]
+        seg_ds = build_dataset(train_name, cfg.get(train_name.upper(), {}), "train")
+        loader = batched_iterator(seg_ds, batch_size, epochs=None)
+        step1_mode = getattr(seg_ds, "step1", None) is not None
+
+        joint = bool(cfg.get("LOADER", {}).get("JOINT")) and bool(vlp_names)
         if joint:
             vlp_ds = build_dataset(
                 vlp_names[0], cfg.get(vlp_names[0].upper(), {}), "train"
@@ -123,52 +155,90 @@ class Trainer:
                 vlp_ds, cfg.get("VLP_BATCH_SIZE", batch_size), epochs=None
             )
             loader = JointLoader({"seg": loader, "vlp": vlp_loader})
+        use_joint_step = joint or step1_mode
+        if use_joint_step and not joint:
+            loader = JointLoader({"seg": loader})
         loader = prefetch_iterator(loader, depth=cfg.get("PREFETCH", 2))
-        text_emb = self._shard(
-            self.pipeline.class_text_embeddings(state.params, train_name,
-                                                is_eval=False)
-            if "synthetic" not in train_name
-            else jnp.ones((cfg.get("NUM_CLASSES", 10) + 1,
-                           self.pipeline.model_config().syslearner_dim),
-                          jnp.float32),
-            P(),
-        )
+        step_fn = make_step(use_joint_step)
 
+        # Class text: live token ids (text tower trains through the class
+        # loss, per-step template sampling — reference forward_seg:336) when
+        # the step1 objective is on; static embedding cache otherwise.
+        rs = np.random.RandomState(cfg.get("SEED", 0))
+        bank = None
+        if step1_mode:
+            from ..data.step1 import ClassPromptBank
+            from ..data.class_names import get_class_names
+
+            names = get_class_names(
+                train_name, num_classes=cfg.get("NUM_CLASSES", 10)
+            )
+            bank = ClassPromptBank(
+                names, self.pipeline.tokenizer,
+                text_len=cfg.get("TEXT_LEN", 24),
+            )
+            text_emb = None
+        else:
+            text_emb = self._shard(
+                self.pipeline.class_text_embeddings(state.params, train_name,
+                                                    is_eval=False)
+                if "synthetic" not in train_name
+                else jnp.ones((cfg.get("NUM_CLASSES", 10) + 1,
+                               self.pipeline.model_config().syslearner_dim),
+                              jnp.float32),
+                P(),
+            )
+
+        from ..runtime.observability import MetricsLogger
+
+        mlog = MetricsLogger(self.run_dir, resume=bool(cfg.get("RESUME")))
         meters = LossMeter()
         thru = Throughput()
         rng = jax.random.PRNGKey(cfg.get("SEED", 0))
         log_every = cfg.get("LOG_EVERY", 10)
         eval_every = max(steps_per_epoch // 4, 1)  # quarter-epoch cadence
+        eval_during_train = cfg.get("EVAL_DURING_TRAIN", False)
         last_metrics: dict[str, Any] = {}
 
         step = int(jax.device_get(state.step))
         for batch in loader:
             if step >= epochs * steps_per_epoch:
                 break
-            seg_batch = batch["seg"] if joint else batch
+            seg_batch = batch["seg"] if use_joint_step else batch
             targets = SegTargets(
                 labels=self._shard(jnp.asarray(seg_batch["labels"]), P("data")),
                 masks=self._shard(jnp.asarray(seg_batch["masks"]), P("data")),
                 valid=self._shard(jnp.asarray(seg_batch["valid"]), P("data")),
             )
             images = self._shard(jnp.asarray(seg_batch["image"]), P("data"))
-            rng, sub = jax.random.split(rng)
-            if joint:
-                vb = batch["vlp"]
-                vlp_batch = {
-                    "images": self._shard(jnp.asarray(vb["image"]), P("data")),
-                    "caption_ids": self._shard(
-                        jnp.asarray(vb["caption_ids"]), P("data")
-                    ),
-                    "caption_mask": self._shard(
-                        jnp.asarray(vb["caption_mask"]), P("data")
-                    ),
+            if bank is not None:
+                t = bank.sample(rs)
+                text_in = {
+                    "ids": self._shard(jnp.asarray(t["ids"]), P()),
+                    "mask": self._shard(jnp.asarray(t["mask"]), P()),
                 }
+            else:
+                text_in = text_emb
+            rng, sub = jax.random.split(rng)
+            if use_joint_step:
+                vlp_batch = None
+                if joint:
+                    vb = batch["vlp"]
+                    vlp_batch = {
+                        "images": self._shard(jnp.asarray(vb["image"]), P("data")),
+                        "caption_ids": self._shard(
+                            jnp.asarray(vb["caption_ids"]), P("data")
+                        ),
+                        "caption_mask": self._shard(
+                            jnp.asarray(vb["caption_mask"]), P("data")
+                        ),
+                    }
+                seg_extras = self._seg_extras_from_batch(seg_batch)
                 state, metrics = step_fn(
-                    state, images, text_emb, targets, vlp_batch, None, sub
+                    state, images, text_in, targets, vlp_batch, seg_extras, sub
                 )
             else:
-                state, metrics = step_fn(state, images, text_emb, targets, sub)
+                state, metrics = step_fn(state, images, text_in, targets, sub)
             step += 1
             meters.update({k: float(v) for k, v in jax.device_get(metrics).items()})
             thru.update(batch_size)
@@ -177,12 +247,153 @@ class Trainer:
                     "step %d  img/s %.2f  %s", step, thru.rate(),
                     format_metrics({"loss": meters.averages()["loss_total"]}),
                 )
+                mlog.log(step, {"imgs_per_sec": thru.rate(), **meters.averages()})
             if step % eval_every == 0:
                 self.ckpt.save(step, jax.device_get(state))
                 last_metrics = meters.averages()
                 meters.reset()
+                if eval_during_train:
+                    # Quarter-epoch eval cadence (reference
+                    # default_trainer.py:241-245).
+                    self.pipeline._text_cache.clear()
+                    results = self.pipeline.evaluate_model(
+                        state.params,
+                        max_batches=cfg.get("EVAL_MAX_BATCHES"),
+                    )
+                    mlog.log(step, results)
+                    logger.info("eval @%d: %s", step, format_metrics(results))
         self.ckpt.save(step, jax.device_get(state), wait=True)
+        mlog.log(step, last_metrics or meters.averages())
         return {"final_step": step, **(last_metrics or meters.averages())}
+
+    # ------------------------------------------------------------------ #
+    def train_llm(self) -> dict[str, Any]:
+        """Stage-2 instruction tuning (reference forward_llm
+        xdecoder_model.py:438-464 + step2_instruction.yaml): conversation
+        stream -> embeddings with image slots -> unified head 'llm' features
+        through the frozen LLaMA; only non-FIX_PARAM params (the projector)
+        train. Tensor-parallel LLM via MODEL_PARALLEL > 1."""
+        cfg = self.cfg
+        from jax.sharding import NamedSharding
+
+        from ..data.datasets import build_dataset
+        from ..models.llm.llama import (
+            LlamaConfig, LlamaForCausalLM, llama_param_shardings,
+        )
+        from ..runtime.observability import MetricsLogger
+        from .llm_step import make_llm_train_step, prepare_llm_batch
+
+        model, params = self.pipeline.initialize_model()
+        solver = cfg.get("SOLVER", {})
+        steps_per_epoch = cfg.get("STEPS_PER_EPOCH", 100)
+        epochs = solver.get("MAX_NUM_EPOCHS", 1)
+        tx = build_optimizer(
+            params,
+            base_lr=solver.get("BASE_LR", 2e-4),
+            weight_decay=solver.get("WEIGHT_DECAY", 0.0),
+            total_steps=steps_per_epoch * epochs,
+            clip_norm=solver.get("CLIP_GRADIENTS", {}).get("CLIP_VALUE", 1.0),
+            warmup_iters=solver.get("WARMUP_ITERS", 10),
+            frozen_substrings=tuple(cfg.get("FIX_PARAM", ())),
+        )
+        state = self._shard(TrainState.create(params, tx), P())
+
+        # LLM: Vicuna-7B geometry by default, overridable for tiny tests
+        # (LLM dict); weights via the HF converter when LLM_WEIGHTS is set.
+        lcfg_d = cfg.get("LLM", {})
+        lcfg = LlamaConfig(
+            vocab_size=lcfg_d.get("VOCAB_SIZE", 32000),
+            dim=lcfg_d.get("DIM", 4096),
+            layers=lcfg_d.get("LAYERS", 32),
+            heads=lcfg_d.get("HEADS", 32),
+            kv_heads=lcfg_d.get("KV_HEADS", 32),
+            ffn_dim=lcfg_d.get("FFN_DIM", 11008),
+            max_seq_len=cfg.get("LLM_MAX_LEN", 1024),
+            dtype=cfg.get("DTYPE", "bfloat16"),
+        )
+        llm = LlamaForCausalLM(cfg=lcfg)
+        if cfg.get("LLM_WEIGHTS"):
+            from ..models.llm.convert import load_hf_llama_params
+
+            llm_params = load_hf_llama_params(cfg["LLM_WEIGHTS"], lcfg)
+        else:
+            llm_params = llm.init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, 4, lcfg.dim), jnp.float32),
+                jnp.ones((1, 4), jnp.int32),
+            )
+        specs = llama_param_shardings(llm_params)
+        llm_params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            llm_params, specs,
+        )
+
+        train_name = (cfg.get("DATASETS", {}).get("TRAIN")
+                      or ["synthetic_instruction"])[0]
+        ds = build_dataset(train_name, cfg.get(train_name.upper(), {}), "train")
+        batch_size = cfg.get("BATCH_SIZE", 2)
+        max_len = cfg.get("LLM_MAX_LEN", 1024)
+        num_img_tokens = model.cfg.num_queries - 1
+
+        ctx_fn = jax.jit(
+            lambda p, ids, m: model.apply(
+                p, ids, m, method=type(model).encode_text_tokens
+            )
+        )
+        step_fn = make_llm_train_step(model, llm, tx)
+        mlog = MetricsLogger(self.run_dir)
+        meters = LossMeter()
+        log_every = cfg.get("LOG_EVERY", 10)
+        eval_every = max(steps_per_epoch // 4, 1)
+        total_steps = epochs * steps_per_epoch
+        step = int(jax.device_get(state.step))
+        order = np.arange(len(ds))
+        rs = np.random.RandomState(cfg.get("SEED", 0))
+        while step < total_steps:
+            rs.shuffle(order)
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                if step >= total_steps:
+                    break
+                items = [ds[int(i)] for i in order[start : start + batch_size]]
+                ids_list = [it["input_ids"] for it in items]
+                labels_list = [it["labels"] for it in items]
+                base_embeds, img_start, attn, labs = prepare_llm_batch(
+                    None, llm, llm_params, ids_list, labels_list,
+                    num_image_tokens=num_img_tokens, max_len=max_len,
+                )
+                images = self._shard(
+                    jnp.asarray(np.stack([it["image"] for it in items])),
+                    P("data"),
+                )
+                if "clip_ids" in items[0]:
+                    tok_emb, _ = ctx_fn(
+                        state.params,
+                        jnp.asarray(np.stack([it["clip_ids"] for it in items])),
+                        jnp.asarray(np.stack([it["clip_mask"] for it in items])),
+                    )
+                else:
+                    tok_emb = jnp.zeros(
+                        (batch_size, model.cfg.contxt_len,
+                         model.cfg.syslearner_dim), jnp.float32,
+                    )
+                state, metrics = step_fn(
+                    state, llm_params, images, tok_emb, base_embeds,
+                    img_start, attn, labs,
+                )
+                step += 1
+                meters.update(
+                    {k: float(v) for k, v in jax.device_get(metrics).items()}
+                )
+                if step % log_every == 0:
+                    logger.info("step %d  %s", step,
+                                format_metrics(meters.averages()))
+                    mlog.log(step, meters.averages())
+                if step % eval_every == 0:
+                    self.ckpt.save(step, jax.device_get(state))
+        final = meters.averages()
+        self.ckpt.save(step, jax.device_get(state), wait=True)
+        mlog.log(step, final)
+        return {"final_step": step, **final}
 
     # ------------------------------------------------------------------ #
     def eval(self, max_batches=None) -> dict[str, Any]:

@@ -18,14 +18,16 @@ TINY = SysLearnerConfig(
 )
 
 
-def _tiny_model():
+def _tiny_model(**overrides):
     # Shrink the SAM trunk via a patched variant table entry.
     import iuvl_tpu.models.sam.build as sb
 
     sb.SAM_VARIANTS["tiny_test"] = dict(
         embed_dim=32, depth=2, num_heads=2, global_attn_indexes=(1,)
     )
-    cfg = SysLearnerConfig(**{**TINY.__dict__, "sam_size": "tiny_test"})
+    cfg = SysLearnerConfig(
+        **{**TINY.__dict__, "sam_size": "tiny_test", **overrides}
+    )
     return SysLearner(cfg=cfg)
 
 
