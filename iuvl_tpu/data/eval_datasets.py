@@ -53,6 +53,39 @@ class Ade20kSemSegDataset:
         }
 
 
+class SyntheticSemSegDataset:
+    """Non-square semantic-annotation smoke stream: exercises the exact ADE
+    geometry (resize-longest + pad input, ORIGINAL-size gt + postprocess)."""
+
+    def __init__(self, image_size=64, length=4, num_classes=4, seed=0):
+        self.image_size = image_size
+        self.length = length
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i: int):
+        rs = np.random.RandomState(self.seed * 29 + i)
+        h, w = self.image_size - 10, self.image_size + 14  # non-square
+        image = (rs.rand(h, w, 3) * 255).astype(np.uint8)
+        sem = rs.randint(0, self.num_classes, (h, w)).astype(np.int32)
+        sem[0, 0] = 255  # an ignore pixel
+        img = pad_to_square(
+            resize_longest_side(image, self.image_size), self.image_size
+        ).astype(np.float32)
+        return {"image": img, "sem_seg": sem, "height": h, "width": w}
+
+
+@register_dataset("synthetic_semseg_ade")
+def _build_synth_semseg(cfg, split):
+    return SyntheticSemSegDataset(
+        image_size=cfg.get("IMAGE_SIZE", 64), length=cfg.get("LENGTH", 4),
+        num_classes=cfg.get("NUM_CLASSES", 4),
+    )
+
+
 @register_dataset("ade20k_panoptic_val")
 @register_dataset("ade20k_sem_seg_val")
 def _build_ade(cfg, split):

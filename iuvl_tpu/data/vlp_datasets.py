@@ -67,9 +67,70 @@ def _build_vlp(cfg, split):
 
 
 @register_dataset("synthetic_vlp")
+@register_dataset("synthetic_captioning")
+@register_dataset("synthetic_retrieval")
 def _build_synth_vlp(cfg, split):
     return SyntheticVlpDataset(
         image_size=cfg.get("IMAGE_SIZE", 1024), length=cfg.get("LENGTH", 64)
+    )
+
+
+class SyntheticClassificationDataset:
+    """ImageNet-style smoke stream: image + class label (the zero-shot
+    classification eval path, reference register_imagenet_cls.py)."""
+
+    def __init__(self, image_size=64, length=8, num_classes=4, seed=0):
+        self.image_size = image_size
+        self.length = length
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i: int):
+        rs = np.random.RandomState(self.seed * 13 + i)
+        s = self.image_size
+        return {
+            "image": (rs.rand(s, s, 3) * 255).astype(np.float32),
+            "label": int(rs.randint(self.num_classes)),
+        }
+
+
+@register_dataset("synthetic_classification")
+def _build_synth_cls(cfg, split):
+    return SyntheticClassificationDataset(
+        image_size=cfg.get("IMAGE_SIZE", 64), length=cfg.get("LENGTH", 8),
+        num_classes=cfg.get("NUM_CLASSES", 4),
+    )
+
+
+class SyntheticVqaDataset:
+    """VQA smoke stream: image + question + gt answers (reference
+    registration vqa json split + vqa_evaluation.py inputs)."""
+
+    def __init__(self, image_size=64, length=4, seed=0):
+        self.image_size = image_size
+        self.length = length
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i: int):
+        rs = np.random.RandomState(self.seed * 101 + i)
+        s = self.image_size
+        return {
+            "image": (rs.rand(s, s, 3) * 255).astype(np.float32),
+            "question": "what color is the object?",
+            "answers": ["red"] * 10,
+        }
+
+
+@register_dataset("synthetic_vqa")
+def _build_synth_vqa(cfg, split):
+    return SyntheticVqaDataset(
+        image_size=cfg.get("IMAGE_SIZE", 64), length=cfg.get("LENGTH", 4)
     )
 
 

@@ -268,6 +268,15 @@ class SysLearner(nn.Module):
             masks, (b, t, images.shape[1], images.shape[2]), method="bicubic"
         )
 
+    def evaluate_retrieval(self, images: jax.Array) -> jax.Array:
+        """Image-side retrieval/classification embedding: the class query's
+        caption embedding, normalized (reference evaluate_retrieval /
+        evaluate_classification use pred_captions[:, -1])."""
+        _, fpn = self.encode_image(images)
+        out = self._head(fpn, None, "seg")
+        v = out["pred_captions"][:, -1]
+        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-7)
+
     def evaluate_captioning(
         self, images: jax.Array, steps: int = 50, sot_id: int = 49406
     ) -> jax.Array:

@@ -27,7 +27,8 @@ logger = logging.getLogger("iuvl_tpu")
 
 
 def hook_switcher(dataset_name: str) -> dict[str, bool]:
-    """Per-dataset eval-head switches (reference pipeline/misc.py:31-55)."""
+    """Per-dataset eval-head switches (reference pipeline/misc.py:31-55 +
+    the evaluator-type dispatch of datasets/build.py:491-597)."""
     n = dataset_name.lower()
     if "refcoco" in n:
         return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
@@ -35,11 +36,31 @@ def hook_switcher(dataset_name: str) -> dict[str, bool]:
     if "pascalvoc" in n or "point" in n or "interactive" in n:
         return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
                 "mode": "interactive"}
+    if "vqa" in n:
+        return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
+                "mode": "vqa"}
+    if "caption" in n:
+        return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
+                "mode": "captioning"}
+    if "retrieval" in n:
+        return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
+                "mode": "retrieval"}
+    if "imagenet" in n or "classification" in n:
+        return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
+                "mode": "classification"}
     if "ade" in n and "panoptic" not in n:
         return {"semantic_on": True, "instance_on": False, "panoptic_on": False,
                 "mode": "seg"}
     return {"semantic_on": True, "instance_on": True, "panoptic_on": True,
             "mode": "seg"}
+
+
+def _resize_chw_np(x: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Host-side bilinear resize of (C, h', w') logits to (C, h, w) — keeps
+    eval free of per-image-shape device recompiles."""
+    from .data.augment import _resize
+
+    return _resize(np.moveaxis(x, 0, -1), h, w).transpose(2, 0, 1)
 
 
 class XDecoderPipeline:
@@ -88,7 +109,7 @@ class XDecoderPipeline:
             self.cfg.get("DATASETS", {}).get("TEST" if is_evaluation else "TRAIN")
             or ["synthetic_seg"]
         )
-        name = names[0] if is_evaluation else names[0]
+        name = names[0]
         ds = build_dataset(name, self.cfg.get(name.upper(), {}), split)
         return name, batched_iterator(
             ds, batch_size, shuffle=not is_evaluation,
@@ -135,19 +156,41 @@ class XDecoderPipeline:
 
     # ------------------------------------------------------------------ #
     def evaluate_model(self, params, batch_size: int = 1, max_batches=None):
-        """Eval loop over DATASETS.TEST[0]: semantic always, plus panoptic
-        PQ and instance AP when the dataset switches enable them
-        (reference XDecoderPipeline.evaluate_model:104-153 + the per-mode
-        inference heads of xdecoder_model.evaluate)."""
+        """Eval over the FULL DATASETS.TEST list (reference build.py:491-597
+        builds one evaluator per test set); each dataset dispatches by its
+        hook_switcher mode."""
+        names = self.cfg.get("DATASETS", {}).get("TEST") or ["synthetic_seg"]
+        out: dict[str, Any] = {}
+        for name in names:
+            out.update(
+                self._evaluate_dataset(params, name, batch_size, max_batches)
+            )
+        return out
+
+    def _evaluate_dataset(self, params, name, batch_size=1, max_batches=None):
+        """One dataset: semantic always (seg mode), plus panoptic PQ and
+        instance AP when the switches enable them (reference
+        XDecoderPipeline.evaluate_model:104-153 + the per-mode inference
+        heads of xdecoder_model.evaluate)."""
         from .evaluation import InstanceAPEvaluator, PanopticEvaluator
         from .inference.postprocess import instance_inference
 
-        name, loader = self.get_dataloaders("val", batch_size, is_evaluation=True)
         switches = hook_switcher(name)
-        if switches["mode"] == "grounding":
+        mode = switches["mode"]
+        if mode == "grounding":
             return self._evaluate_grounding(params, name, max_batches)
-        if switches["mode"] == "interactive":
+        if mode == "interactive":
             return self._evaluate_interactive(params, name, max_batches)
+        if mode == "captioning":
+            return self._evaluate_captioning(params, name, max_batches)
+        if mode == "retrieval":
+            return self._evaluate_retrieval(params, name, max_batches)
+        if mode == "classification":
+            return self._evaluate_classification(params, name, max_batches)
+        if mode == "vqa":
+            return self._evaluate_vqa(params, name, max_batches)
+        ds = build_dataset(name, self.cfg.get(name.upper(), {}), "val")
+        loader = batched_iterator(ds, batch_size, shuffle=False, epochs=1)
         text_emb = self.class_text_embeddings(params, name, is_eval=True)
         num_classes = text_emb.shape[0] - 1
         thing_ids = COCO_THING_IDS if "coco" in name else set(range(num_classes))
@@ -168,23 +211,45 @@ class XDecoderPipeline:
                 cls, pred, topk=100, thing_mask=thing_mask
             )
         )
+        input_size = self.model_config().img_size
+        processed = 0
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
             mask_cls, mask_pred = eval_fn(
                 params, jnp.asarray(batch["image"]), text_emb
             )
-            sem = jax.vmap(semantic_inference)(mask_cls, mask_pred)
-            pred = np.asarray(jnp.argmax(sem, axis=1))
-            for b in range(pred.shape[0]):
-                gt_sem, gt_masks, gt_labels = self._gt_from_batch(batch, b, pred.shape[1:])
+            sem = np.asarray(jax.vmap(semantic_inference)(mask_cls, mask_pred))
+            for b in range(sem.shape[0]):
+                if "sem_seg" in batch:
+                    # Semantic-annotation datasets (ADE & co.): crop the
+                    # padding, resize logits to the ORIGINAL size, compare
+                    # against the original-resolution gt (reference
+                    # postprocessing.py:99-122 + evaluate:515-536).
+                    gt_sem = np.asarray(batch["sem_seg"][b])
+                    h0, w0 = gt_sem.shape
+                    from .data.transforms import get_preprocess_shape
+
+                    rh, rw = get_preprocess_shape(h0, w0, input_size)
+                    logits = _resize_chw_np(sem[b][:, :rh, :rw], h0, w0)
+                    evaluator.process(logits.argmax(0), gt_sem)
+                    processed += 1
+                    continue
+                gt_sem, gt_masks, gt_labels = self._gt_from_batch(
+                    batch, b, sem.shape[2:]
+                )
                 if gt_sem is None:
                     continue
-                evaluator.process(pred[b], gt_sem)
+                processed += 1
+                evaluator.process(sem[b].argmax(0), gt_sem)
                 if switches.get("panoptic_on"):
                     pan_seg, segs = panoptic_merge(
                         np.asarray(mask_cls[b]), np.asarray(mask_pred[b]),
-                        thing_ids=thing_ids, object_mask_threshold=0.0,
+                        thing_ids=thing_ids,
+                        # reference object_mask_threshold (step1.yaml TEST)
+                        object_mask_threshold=self.cfg.get(
+                            "OBJECT_MASK_THRESHOLD", 0.8
+                        ),
                     )
                     gt_pan, gt_segs = self._gt_panoptic(gt_masks, gt_labels)
                     pan_eval.process(pan_seg, segs, gt_pan, gt_segs)
@@ -196,6 +261,7 @@ class XDecoderPipeline:
                         inst["pred_classes"][keep], gt_masks, gt_labels,
                     )
         out = {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
+        out[f"{name}/processed"] = processed
         if switches.get("panoptic_on"):
             out.update({f"{name}/{k}": v for k, v in pan_eval.evaluate().items()})
         if switches.get("instance_on"):
@@ -292,6 +358,132 @@ class XDecoderPipeline:
             ious = np.asarray(ious)
             for k in range(ious.shape[1]):
                 evaluator.process(ious[:, k])
+        return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
+
+    def _evaluate_captioning(self, params, name, max_batches=None):
+        """Image captioning eval (reference evaluate_captioning
+        xdecoder_model.py:545-590 + captioning_evaluation.py): autoregressive
+        CLIP-token decode scored with BLEU/CIDEr against reference captions."""
+        from .evaluation import CaptioningEvaluator
+
+        ds = build_dataset(name, self.cfg.get(name.upper(), {}), "val")
+        evaluator = CaptioningEvaluator()
+        cap_fn = jax.jit(
+            lambda p, img: self.model.apply(
+                p, img, steps=self.cfg.get("CAPTIONING_STEPS", 20),
+                method=SysLearner.evaluate_captioning,
+            ),
+            static_argnums=(),
+        )
+        n = len(ds) if max_batches is None else min(len(ds), max_batches)
+        for i in range(n):
+            item = ds[i]
+            ids = np.asarray(
+                jax.device_get(cap_fn(params, jnp.asarray(item["image"])[None]))
+            )[0]
+            text = self.tokenizer.batch_decode([ids], skip_special_tokens=True)[0]
+            refs = item.get("captions") or [item.get("caption", "")]
+            evaluator.process(text, list(refs))
+        return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
+
+    def _evaluate_retrieval(self, params, name, max_batches=None):
+        """Image-text retrieval (reference evaluate_retrieval
+        xdecoder_model.py + retrieval_evaluation.py): class-query embedding
+        vs pooled caption embeddings, ir@k/tr@k."""
+        from .evaluation import RetrievalEvaluator
+
+        ds = build_dataset(name, self.cfg.get(name.upper(), {}), "val")
+        evaluator = RetrievalEvaluator(ks=(1, 5))
+        img_fn = jax.jit(
+            lambda p, img: self.model.apply(
+                p, img, method=SysLearner.evaluate_retrieval
+            )
+        )
+        txt_fn = jax.jit(
+            lambda p, ids, m: self.model.apply(
+                p, ids, m, method=SysLearner.encode_text_embeddings
+            )
+        )
+        n = len(ds) if max_batches is None else min(len(ds), max_batches)
+        for i in range(n):
+            item = ds[i]
+            v = np.asarray(img_fn(params, jnp.asarray(item["image"])[None]))[0]
+            t = np.asarray(
+                txt_fn(
+                    params,
+                    jnp.asarray(item["caption_ids"])[None],
+                    jnp.asarray(item["caption_mask"])[None],
+                )
+            )
+            evaluator.process(v, i, t, [i])
+        return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
+
+    def _evaluate_classification(self, params, name, max_batches=None):
+        """Zero-shot classification (reference evaluate_classification +
+        classification_evaluation.py): class-query embedding against the
+        class-name prompt ensemble, top-1/top-5."""
+        from .evaluation import ClassificationEvaluator
+
+        ds = build_dataset(name, self.cfg.get(name.upper(), {}), "val")
+        evaluator = ClassificationEvaluator(ks=(1, 5))
+        text_emb = self.class_text_embeddings(params, name, is_eval=True)
+        # Drop the background row for classification logits.
+        text_cls = text_emb[:-1] if text_emb.shape[0] > 1 else text_emb
+        img_fn = jax.jit(
+            lambda p, img: self.model.apply(
+                p, img, method=SysLearner.evaluate_retrieval
+            )
+        )
+        n = len(ds) if max_batches is None else min(len(ds), max_batches)
+        for i in range(n):
+            item = ds[i]
+            v = np.asarray(img_fn(params, jnp.asarray(item["image"])[None]))
+            logits = v @ np.asarray(text_cls).T  # (1, K)
+            evaluator.process(logits, np.asarray([item["label"]]))
+        return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
+
+    def _evaluate_vqa(self, params, name, max_batches=None):
+        """VQA through the LLM (reference evaluate_vqa
+        xdecoder_model.py:592-630 + vqa_evaluation.py). Requires Load_LLM;
+        the tiny-LLM geometry comes from cfg LLM for tests."""
+        from .evaluation import VQAEvaluator
+        from .models.llm.llama import LlamaConfig, LlamaForCausalLM
+        from .models.llm.vqa_pipeline import answer_questions
+
+        ds = build_dataset(name, self.cfg.get(name.upper(), {}), "val")
+        evaluator = VQAEvaluator()
+        lcfg_d = self.cfg.get("LLM", {})
+        lcfg = LlamaConfig(
+            vocab_size=lcfg_d.get("VOCAB_SIZE", 32000),
+            dim=lcfg_d.get("DIM", 4096),
+            layers=lcfg_d.get("LAYERS", 32),
+            heads=lcfg_d.get("HEADS", 32),
+            kv_heads=lcfg_d.get("KV_HEADS", 32),
+            ffn_dim=lcfg_d.get("FFN_DIM", 11008),
+            max_seq_len=self.cfg.get("LLM_MAX_LEN", 1024),
+            dtype=self.cfg.get("DTYPE", "bfloat16"),
+        )
+        llm = LlamaForCausalLM(cfg=lcfg)
+        if self.cfg.get("LLM_WEIGHTS"):
+            from .models.llm.convert import load_hf_llama_params
+
+            llm_params = load_hf_llama_params(self.cfg["LLM_WEIGHTS"], lcfg)
+        else:
+            llm_params = llm.init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, 4, lcfg.dim), jnp.float32),
+                jnp.ones((1, 4), jnp.int32),
+            )
+        n = len(ds) if max_batches is None else min(len(ds), max_batches)
+        for i in range(n):
+            item = ds[i]
+            answers = answer_questions(
+                self.model, params, llm, llm_params, self.tokenizer,
+                jnp.asarray(item["image"])[None], [item["question"]],
+                max_new_tokens=self.cfg.get("VQA_MAX_NEW_TOKENS", 8),
+                max_len=self.cfg.get("LLM_MAX_LEN", 64),
+            )
+            evaluator.process(answers[0], list(item["answers"]))
         return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
 
     @staticmethod
