@@ -31,6 +31,7 @@ class SegTargets:
     labels: jax.Array  # (B, T) int32 class ids
     masks: jax.Array  # (B, T, H, W) float {0, 1} at mask_pred resolution scale
     valid: jax.Array  # (B, T) bool
+    boxes: Any = None  # optional (B, T, 4) cxcywh in [0,1] (DETECTION on)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +44,8 @@ class CriterionConfig:
     class_weight: float = 2.0
     mask_weight: float = 5.0
     dice_weight: float = 5.0
+    box_weight: float = 5.0  # reference BOX_WEIGHT
+    giou_weight: float = 2.0  # reference GIOU_WEIGHT
     top_mask_layers: int = 10
 
 
@@ -136,7 +139,8 @@ class SegCriterion:
 
         losses: dict[str, jax.Array] = {}
         layer_outputs = list(outputs["aux_outputs"]) + [
-            {k: outputs[k] for k in ("pred_logits", "pred_masks")}
+            {k: outputs.get(k)
+             for k in ("pred_logits", "pred_masks", "pred_boxes")}
         ]
         for layer_id, layer_out in enumerate(layer_outputs):
             rng, r_match, r_pts = jax.random.split(rng, 3)
@@ -164,4 +168,11 @@ class SegCriterion:
             losses[f"loss_mask_ce{suffix}"] = c.class_weight * ce
             losses[f"loss_mask_bce{suffix}"] = c.mask_weight * bce
             losses[f"loss_mask_dice{suffix}"] = c.dice_weight * dice
+            if layer_out.get("pred_boxes") is not None and targets.boxes is not None:
+                l1, giou = self.loss_boxes(
+                    layer_out["pred_boxes"], targets.boxes, targets.valid,
+                    assigned, num_masks,
+                )
+                losses[f"loss_bbox{suffix}"] = c.box_weight * l1
+                losses[f"loss_giou{suffix}"] = c.giou_weight * giou
         return losses

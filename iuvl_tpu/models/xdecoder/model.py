@@ -57,6 +57,9 @@ class SysLearnerConfig:
     attn_impl: str = "xla"  # SAM windowed attention implementation
     remat: bool = False
     msdeform_impl: str = "xla"
+    pixel_decoder: str = "msdeform"  # or "fpn" (reference
+    # transformer_encoder_fpn registration, unused by shipped configs)
+    detection: bool = False  # bbox head (reference task_switch['bbox'])
 
     @property
     def num_queries(self) -> int:
@@ -101,14 +104,22 @@ class SysLearner(nn.Module):
         self.mask_decoder = MaskDecoder(
             transformer_dim=sam_cfg.prompt_embed_dim, dtype=dtype
         )
-        self.pixel_decoder = DeformablePixelDecoder(
-            conv_dim=c.syslearner_dim,
-            mask_dim=c.syslearner_dim,
-            num_layers=c.pixel_decoder_layers,
-            n_heads=c.nheads,
-            dtype=dtype,
-            impl=c.msdeform_impl,
-        )
+        if c.pixel_decoder == "fpn":
+            from .fpn_decoder import BasePixelDecoder
+
+            self.pixel_decoder = BasePixelDecoder(
+                conv_dim=c.syslearner_dim, mask_dim=c.syslearner_dim,
+                dtype=dtype,
+            )
+        else:
+            self.pixel_decoder = DeformablePixelDecoder(
+                conv_dim=c.syslearner_dim,
+                mask_dim=c.syslearner_dim,
+                num_layers=c.pixel_decoder_layers,
+                n_heads=c.nheads,
+                dtype=dtype,
+                impl=c.msdeform_impl,
+            )
         self.predictor = UnifiedDecoder(
             hidden_dim=c.syslearner_dim,
             dim_proj=c.syslearner_dim,
@@ -117,6 +128,7 @@ class SysLearner(nn.Module):
             nheads=c.nheads,
             dim_feedforward=c.dim_feedforward,
             mask_dim=c.syslearner_dim,
+            task_bbox=c.detection,
             dtype=dtype,
         )
         self.lang_encoder = LanguageEncoder(

@@ -147,6 +147,7 @@ class UnifiedDecoder(nn.Module):
     captioning_step: int = 50
     task_captioning: bool = True
     task_interactive: bool = True
+    task_bbox: bool = False  # reference task_switch['bbox'] (xdecoder.py:477)
     sam_dim: int = 32  # SAM mask-decoder channel (transformer_dim // 8)
     dtype: jnp.dtype = jnp.float32
 
@@ -187,6 +188,12 @@ class UnifiedDecoder(nn.Module):
             self.pos_embed_caping = self.param(
                 "pos_embed_caping", nn.initializers.normal(1.0),
                 (self.contxt_len, self.hidden_dim),
+            )
+        if self.task_bbox:
+            # Box regression head (reference xdecoder.py:139 bbox_embed MLP
+            # hidden->4, outputs cxcywh in [0,1] after sigmoid).
+            self.bbox_embed = MLP3(
+                self.hidden_dim, 4, dtype=self.dtype, name="bbox_embed"
             )
         if self.task_interactive:
             # SAM prompt-decode injection (SURVEY §2.9 intended contract:
@@ -295,10 +302,16 @@ class UnifiedDecoder(nn.Module):
             "bqc,bhwc->bqhw", mask_embed, mask_features,
             preferred_element_type=jnp.float32,
         )
+        outputs_bbox = None
+        if self.task_bbox:
+            outputs_bbox = jax.nn.sigmoid(
+                self.bbox_embed(dec).astype(jnp.float32)
+            )
         return {
             "class_embed": class_embed,  # caption embeddings (pred_captions)
             "outputs_class": outputs_class,  # similarity logits (unscaled)
             "outputs_mask": outputs_mask,
+            "outputs_bbox": outputs_bbox,
             "outputs_captioning": outputs_captioning,
         }
 
@@ -441,6 +454,10 @@ class UnifiedDecoder(nn.Module):
                 for p in predictions[:-1]
             ],
         }
+        if self.task_bbox:
+            out["pred_boxes"] = predictions[-1]["outputs_bbox"]
+            for a, p in zip(out["aux_outputs"], predictions[:-1]):
+                a["pred_boxes"] = p["outputs_bbox"]
         if task == "vlp":
             out["pred_captionings"] = predictions[-1]["outputs_captioning"]
             out["aux_captionings"] = [p["outputs_captioning"] for p in predictions[:-1]]

@@ -8,7 +8,7 @@ position tables indexed by *unscaled* q, softmaxed in fp32.
 Two implementations share one interface:
 - ``impl='xla'``   : pure jnp — the correctness oracle, and already fast on
                      the MXU because everything is batched matmuls.
-- ``impl='pallas'``: fused Pallas kernel (ops/pallas/sam_attention.py) that
+- ``impl='pallas'``: fused Pallas kernel (ops/pallas/flash_attention.py) that
                      keeps the (N x N) score matrix in VMEM.
 
 All shapes are static; the rel-pos gather tables are computed at trace time

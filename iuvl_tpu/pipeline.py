@@ -89,6 +89,8 @@ class XDecoderPipeline:
             dtype=c.get("DTYPE", "bfloat16"),
             attn_impl=c.get("ATTN_IMPL", "xla"),
             msdeform_impl=c.get("MSDEFORM_IMPL", "xla"),
+            pixel_decoder=c.get("PIXEL_DECODER", "msdeform"),
+            detection=bool(c.get("DETECTION", False)),
             llm_dim=(c.get("LLM_DIM", 4096) if c.get("Load_LLM") else 0),
         )
 
@@ -142,7 +144,7 @@ class XDecoderPipeline:
                 [t.format(cname) for t in templates] if is_eval
                 else [f"a photo of a {cname}."]
             )
-            toks = self.tokenizer(texts)
+            toks = self.tokenizer(texts, max_length=self.model_config().contxt_len)
             emb = embed_fn(
                 params, jnp.asarray(toks["input_ids"]),
                 jnp.asarray(toks["attention_mask"]),
@@ -482,6 +484,9 @@ class XDecoderPipeline:
                 jnp.asarray(item["image"])[None], [item["question"]],
                 max_new_tokens=self.cfg.get("VQA_MAX_NEW_TOKENS", 8),
                 max_len=self.cfg.get("LLM_MAX_LEN", 64),
+                # Reference generates with num_beams=5 (xdecoder_model.py:
+                # 611-617); beam decode shares the greedy KV cache.
+                num_beams=self.cfg.get("VQA_NUM_BEAMS", 1),
             )
             evaluator.process(answers[0], list(item["answers"]))
         return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}

@@ -39,10 +39,13 @@ def split_seg_outputs(outputs: dict, num_queries: int, grounding: bool = False):
     nq = num_queries
 
     def slice_block(o, lo, hi):
-        return {
+        out = {
             "pred_logits": o["pred_logits"][:, lo:hi] if o.get("pred_logits") is not None else None,
             "pred_masks": o["pred_masks"][:, lo:hi],
         }
+        if o.get("pred_boxes") is not None:
+            out["pred_boxes"] = o["pred_boxes"][:, lo:hi]
+        return out
 
     obj = slice_block(outputs, 0, nq - 1)
     obj["aux_outputs"] = [slice_block(a, 0, nq - 1) for a in outputs["aux_outputs"]]

@@ -52,9 +52,31 @@ class Trainer:
         self.ckpt = CheckpointManager(os.path.join(self.run_dir, "ckpt"))
 
     # ------------------------------------------------------------------ #
+    def _load_pretrained(self, params):
+        """WEIGHT + RESUME_FROM pretrained load with fuzzy key alignment
+        (reference utils_trainer.load_model + utils/model.py
+        align_and_update_state_dicts)."""
+        cfg = self.cfg
+        if not (cfg.get("WEIGHT") and cfg.get("RESUME_FROM")):
+            return params
+        from ..runtime.checkpoint import CheckpointManager, align_and_update_params
+
+        restored = CheckpointManager(cfg["RESUME_FROM"]).restore()
+        if restored is None:
+            logger.warning("WEIGHT load: nothing restorable at %s",
+                           cfg["RESUME_FROM"])
+            return params
+        loaded = restored.get("params", restored)
+        params, log = align_and_update_params(params, loaded)
+        for line in log[:20]:
+            logger.info("weight align: %s", line)
+        logger.info("weight align: %d log lines total", len(log))
+        return params
+
     def _setup(self):
         cfg = self.cfg
         model, params = self.pipeline.initialize_model()
+        params = self._load_pretrained(params)
         solver = cfg.get("SOLVER", {})
         steps_per_epoch = cfg.get("STEPS_PER_EPOCH", 100)
         epochs = solver.get("MAX_NUM_EPOCHS", 10)
@@ -284,6 +306,7 @@ class Trainer:
         from .llm_step import make_llm_train_step, prepare_llm_batch
 
         model, params = self.pipeline.initialize_model()
+        params = self._load_pretrained(params)  # step1 weights into step2
         solver = cfg.get("SOLVER", {})
         steps_per_epoch = cfg.get("STEPS_PER_EPOCH", 100)
         epochs = solver.get("MAX_NUM_EPOCHS", 1)
@@ -399,8 +422,12 @@ class Trainer:
     def eval(self, max_batches=None) -> dict[str, Any]:
         model, params = self.pipeline.initialize_model()
         if self.cfg.get("RESUME_FROM"):
+            from ..runtime.checkpoint import align_and_update_params
+
             mgr = CheckpointManager(self.cfg["RESUME_FROM"])
             restored = mgr.restore()
             if restored is not None:
-                params = restored.get("params", params)
+                params, _ = align_and_update_params(
+                    params, restored.get("params", restored)
+                )
         return self.pipeline.evaluate_model(params, max_batches=max_batches)

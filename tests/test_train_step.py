@@ -147,6 +147,39 @@ def test_top_mask_layers_keeps_final_trims_early_aux():
     assert suffixes == ["0", "2"], suffixes
 
 
+def test_detection_head_box_losses_fire():
+    """DETECTION on: the decoder emits pred_boxes per layer and the
+    criterion adds loss_bbox/loss_giou (reference task_switch['bbox'])."""
+    from tests.test_syslearner import _tiny_model
+    from iuvl_tpu.models.xdecoder.model import SysLearner
+
+    model = _tiny_model(detection=True)
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    text_emb = jnp.ones((5, 32), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), images, text_emb, method=type(model).warmup
+    )
+    out = model.apply(params, images, text_emb, method=SysLearner.forward_seg)
+    assert out["pred_boxes"].shape[-1] == 4
+    assert float(out["pred_boxes"].min()) >= 0.0
+    assert float(out["pred_boxes"].max()) <= 1.0
+
+    from iuvl_tpu.train.train_step import split_seg_outputs
+
+    obj, _ = split_seg_outputs(out, model.cfg.num_queries)
+    tgt = _targets(1)
+    tgt = SegTargets(
+        labels=tgt.labels, masks=tgt.masks, valid=tgt.valid,
+        boxes=jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 4).astype(np.float32) * 0.5
+        ),
+    )
+    crit = SegCriterion(CriterionConfig(num_classes=4, top_mask_layers=1))
+    losses = crit(jax.random.PRNGKey(0), obj, tgt, match_points=16)
+    assert "loss_bbox_0" in losses and "loss_giou_0" in losses
+    assert np.isfinite(float(losses["loss_bbox_0"]))
+
+
 def test_loss_boxes():
     from iuvl_tpu.losses.criterion import CriterionConfig, SegCriterion
 
