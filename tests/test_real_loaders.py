@@ -1,0 +1,216 @@
+"""Real-data loader tests on generated tiny fixtures: pyarrow VLP files,
+LLaVA instruction json, VQAv2 json, semseg folders (sunrgbd/bdd layouts),
+imagenet folders, and the COCO step1 mapper with captions+grounding."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _png(path, arr):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def _jpg(path, hw=(40, 56)):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rs = np.random.RandomState(0)
+    Image.fromarray((rs.rand(*hw, 3) * 255).astype(np.uint8)).save(path)
+
+
+def test_arrow_vlp_loader(tmp_path):
+    import io
+
+    import pyarrow as pa
+    from PIL import Image
+
+    from iuvl_tpu.data.real_datasets import ArrowVlpDataset
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.RandomState(0).rand(30, 40, 3) * 255).astype(np.uint8)
+    ).save(buf, format="JPEG")
+    tbl = pa.table({
+        "image": [buf.getvalue(), buf.getvalue()],
+        "caption": [["a dog", "a brown dog"], ["a cat"]],
+        "image_id": ["coco_1.jpg", "coco_2.jpg"],
+    })
+    d = tmp_path / "pretrain_arrows_code224"
+    d.mkdir()
+    with pa.OSFile(str(d / "f0.arrow"), "wb") as sink:
+        with pa.ipc.new_file(sink, tbl.schema) as w:
+            w.write_table(tbl)
+
+    ds = ArrowVlpDataset(str(d), image_size=64, split="train")
+    assert len(ds) == 3  # flattened per caption
+    item = ds[1]
+    assert item["image"].shape == (64, 64, 3)
+    assert item["caption"] == "a brown dog"
+    assert item["caption_ids"].shape[0] == 77
+
+    val = ArrowVlpDataset(str(d), image_size=64, split="val")
+    assert len(val) == 2
+    assert val[0]["captions"] == ["a dog", "a brown dog"]
+
+
+def test_instruction_json_loader(tmp_path):
+    from iuvl_tpu.data.real_datasets import InstructionJsonDataset
+    from iuvl_tpu.models.llm.multimodal import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+
+    _jpg(str(tmp_path / "imgs" / "0001.jpg"))
+    recs = [{
+        "image": "0001.jpg",
+        "conversations": [
+            {"from": "human", "value": "<image>\nwhat is shown?"},
+            {"from": "gpt", "value": "a small dog"},
+        ],
+    }]
+    jp = tmp_path / "inst.json"
+    jp.write_text(json.dumps(recs))
+    ds = InstructionJsonDataset(
+        str(jp), image_root=str(tmp_path / "imgs"), image_size=64, max_len=64
+    )
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    ids, labels = item["input_ids"], item["labels"]
+    assert (ids == IMAGE_TOKEN_INDEX).sum() == 1
+    # some labels supervised (the answer), the rest masked
+    assert (labels != IGNORE_INDEX).sum() > 0
+    assert (labels == IGNORE_INDEX).sum() > 0
+
+
+def test_vqa_json_loader(tmp_path):
+    from iuvl_tpu.data.real_datasets import VqaJsonDataset
+
+    _jpg(str(tmp_path / "imgs" / "COCO_val2014_000000000007.jpg"))
+    qj = tmp_path / "q.json"
+    qj.write_text(json.dumps({"questions": [
+        {"question_id": 70, "image_id": 7, "question": "what color?"}
+    ]}))
+    aj = tmp_path / "a.json"
+    aj.write_text(json.dumps({"annotations": [
+        {"question_id": 70, "answers": [{"answer": "red"}] * 10}
+    ]}))
+    ds = VqaJsonDataset(str(qj), str(tmp_path / "imgs"), str(aj), image_size=64)
+    item = ds[0]
+    assert item["question"] == "what color?"
+    assert item["answers"] == ["red"] * 10
+    assert item["image"].shape == (64, 64, 3)
+
+
+def test_semseg_folder_layouts(tmp_path, monkeypatch):
+    from iuvl_tpu.data.datasets import build_dataset
+
+    # SUN-RGBD layout
+    base = tmp_path / "sun_rgbd"
+    _jpg(str(base / "image" / "val" / "a.jpg"))
+    _png(str(base / "label37" / "val" / "a.png"),
+         np.random.RandomState(0).randint(0, 5, (40, 56)).astype(np.uint8))
+    # BDD layout
+    b2 = tmp_path / "bdd100k"
+    _jpg(str(b2 / "images" / "10k" / "val" / "b.jpg"))
+    _png(str(b2 / "labels" / "sem_seg" / "masks" / "val" / "b.png"),
+         np.random.RandomState(1).randint(0, 5, (40, 56)).astype(np.uint8))
+    monkeypatch.setenv("DATASET", str(tmp_path))
+
+    ds = build_dataset("sunrgbd_37_val_seg", {"IMAGE_SIZE": 64}, "val")
+    item = ds[0]
+    assert item["sem_seg"].shape == (40, 56)
+    assert item["image"].shape == (64, 64, 3)
+
+    ds = build_dataset("bdd10k_val_sem_seg", {"IMAGE_SIZE": 64}, "val")
+    assert ds[0]["sem_seg"].shape == (40, 56)
+
+
+def test_imagenet_folder(tmp_path, monkeypatch):
+    from iuvl_tpu.data.datasets import build_dataset
+
+    for cls in ("n01440764", "n01443537"):
+        _jpg(str(tmp_path / "imagenet" / "val" / cls / "x.JPEG"))
+    monkeypatch.setenv("DATASET", str(tmp_path))
+    ds = build_dataset("imagenet_val", {"IMAGE_SIZE": 64}, "val")
+    assert len(ds) == 2
+    assert ds[0]["label"] == 0 and ds[1]["label"] == 1
+
+
+def _write_coco_fixture(root, with_caption=True, with_grounding=True):
+    from PIL import Image
+
+    ann_dir = root / "coco" / "annotations"
+    os.makedirs(ann_dir, exist_ok=True)
+    h, w = 40, 56
+    # panoptic png: segment id 1 in top-left quadrant, 2 bottom-right
+    pan = np.zeros((h, w, 3), np.uint8)
+    pan[:20, :28, 0] = 1
+    pan[20:, 28:, 0] = 2
+    _png(str(ann_dir / "panoptic_train2017" / "img0.png"), pan)
+    _jpg(str(root / "coco" / "train2017" / "img0.jpg"), (h, w))
+    (ann_dir / "panoptic_train2017.json").write_text(json.dumps({
+        "annotations": [{
+            "image_id": 5, "file_name": "img0.png",
+            "segments_info": [
+                {"id": 1, "category_id": 10, "iscrowd": 0},
+                {"id": 2, "category_id": 20, "iscrowd": 0},
+            ],
+        }],
+        "images": [{"id": 5, "file_name": "img0.jpg",
+                    "height": h, "width": w}],
+        "categories": [{"id": 10, "name": "dog"}, {"id": 20, "name": "cat"}],
+    }))
+    if with_caption:
+        (ann_dir / "captions_train2017.json").write_text(json.dumps({
+            "annotations": [
+                {"image_id": 5, "caption": "a dog next to a cat"},
+            ]
+        }))
+    if with_grounding:
+        (ann_dir / "grounding_train2017.json").write_text(json.dumps({
+            "annotations": [{
+                "image_id": 5,
+                "segmentation": [[0, 0, 27, 0, 27, 19, 0, 19]],
+                "sentences": [{"raw": "the dog on the left"}],
+            }]
+        }))
+
+
+def test_coco_step1_mapper_full(tmp_path, monkeypatch):
+    from iuvl_tpu.data.datasets import CocoPanopticDataset
+
+    _write_coco_fixture(tmp_path)
+    ds = CocoPanopticDataset(
+        str(tmp_path), "train2017", image_size=64, max_instances=4,
+        train=True, lsj=True, step1=True, text_len=16,
+    )
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    assert item["valid"].any()
+    # captions -> phrases present
+    assert item["phrase_valid"].any()
+    # grounding json present -> text mode weight 2.0
+    assert float(item["grounding_task_weight"]) == 2.0
+    assert item["grounding_valid"].any()
+    assert item["grounding_masks"].shape == (5, 16, 16)
+    assert "points" in item["spatial_query"] or isinstance(
+        item["spatial_query"], dict
+    )
+
+
+def test_coco_mapper_degrades_without_caption_files(tmp_path):
+    from iuvl_tpu.data.datasets import CocoPanopticDataset
+
+    _write_coco_fixture(tmp_path, with_caption=False, with_grounding=False)
+    ds = CocoPanopticDataset(
+        str(tmp_path), "train2017", image_size=64, max_instances=4,
+        train=True, lsj=False, step1=True, text_len=16,
+    )
+    item = ds[0]
+    # class-mode grounding fallback from instance masks + class names
+    assert float(item["grounding_task_weight"]) == 0.5
+    assert item["grounding_valid"].any()
+    assert not item["phrase_valid"].any()  # no captions file
