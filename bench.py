@@ -1,4 +1,7 @@
-"""Benchmark: SAM ViT-B interactive masks/sec/chip (BASELINE north-star).
+"""Benchmark: SAM ViT-B interactive masks/sec/chip (BASELINE north-star),
+plus the remaining BASELINE metrics — X-Decoder panoptic images/sec and
+interactive p50 prompt latency — printed as JSON to STDERR (stdout stays
+one JSON line for the driver) and appended to BENCH_EXTRA.json.
 
 Protocol: one 1024x1024 image is encoded once (ViT-B, bf16), then 1024
 point prompts (the 32x32 automatic-mask-generation grid) are decoded in
@@ -104,5 +107,112 @@ def main():
     }))
 
 
+def _timed_diff(run1, runk, args, k_minus_1: float, repeats: int = 3):
+    """Chained-scan differencing (cancels dispatch/tunnel RTT)."""
+    float(run1(*args))
+    float(runk(*args))
+    best1 = bestk = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run1(*args))
+        best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(runk(*args))
+        bestk = min(bestk, time.perf_counter() - t0)
+    return (bestk - best1) / k_minus_1
+
+
+def bench_extra():
+    """X-Decoder panoptic images/sec + interactive p50 prompt latency
+    (BASELINE.md 'to be measured' rows). Written to stderr + BENCH_EXTRA.json
+    so the driver's single-stdout-line contract is preserved."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from iuvl_tpu.models.xdecoder.model import SysLearner, SysLearnerConfig
+
+    cfg = SysLearnerConfig(
+        sam_size="base", img_size=1024, dtype="bfloat16", attn_impl="auto",
+        msdeform_impl="wide",
+    )
+    model = SysLearner(cfg=cfg)
+    images0 = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+    text = jnp.zeros((134, cfg.syslearner_dim), jnp.float32)
+    params = jax.jit(
+        lambda r: model.init(r, images0, text, method=SysLearner.warmup)
+    )(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 1024, 1024, 3)) * 255
+
+    results = []
+
+    # ---- X-Decoder panoptic eval throughput (evaluate_seg @ 1024^2) ---- #
+    def chained_seg(params, img, iters):
+        def body(carry, _):
+            cls_, pred = model.apply(
+                params, img + carry * 1e-12, text,
+                method=SysLearner.evaluate_seg,
+            )
+            return pred.mean().astype(jnp.float32), None
+
+        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return final
+
+    run1 = jax.jit(lambda p, i: chained_seg(p, i, 1))
+    runk = jax.jit(lambda p, i: chained_seg(p, i, 9))
+    per_img = _timed_diff(run1, runk, (params, img), 8.0)
+    results.append({
+        "metric": "xdecoder_panoptic_images_per_sec_per_chip",
+        "value": round(1.0 / per_img, 3),
+        "unit": "img/s",
+        "vs_baseline": None,  # no reference number published (BASELINE.md)
+    })
+
+    # ---- Interactive p50 prompt latency (one click round through the
+    # unified decoder from cached features) ---- #
+    enc = jax.jit(
+        lambda p, i: model.apply(p, i, method=SysLearner.encode_interactive)
+    )
+    sam_emb, mask_features, multi_scale = enc(params, img)
+
+    def chained_click(params, pts, iters):
+        def body(carry, _):
+            logits = model.apply(
+                params, sam_emb, mask_features, multi_scale,
+                points=pts + carry * 1e-12,
+                labels=jnp.ones((1, 1), jnp.int32),
+                method=SysLearner.decode_interactive,
+            )
+            return logits.mean().astype(jnp.float32), None
+
+        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return final
+
+    pts = jnp.asarray([[[512.0, 512.0]]])
+    c1 = jax.jit(lambda p, x: chained_click(p, x, 1))
+    ck = jax.jit(lambda p, x: chained_click(p, x, 17))
+    lat = _timed_diff(c1, ck, (params, pts), 16.0, repeats=5)
+    results.append({
+        "metric": "interactive_p50_prompt_latency",
+        "value": round(lat * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": None,  # no reference number published (BASELINE.md)
+    })
+
+    for r in results:
+        print(json.dumps(r), file=sys.stderr)
+    with open("BENCH_EXTRA.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
 if __name__ == "__main__":
+    import os
+    import sys
+
     main()
+    if os.environ.get("BENCH_SKIP_EXTRA") != "1":
+        try:
+            bench_extra()
+        except Exception as e:  # never break the driver's stdout contract
+            print(f"bench_extra failed: {e}", file=sys.stderr)

@@ -9,9 +9,10 @@ batched gathers + weighted reductions that XLA maps to TPU gather/VPU ops:
 per level, a 4-tap bilinear gather at predicted sampling locations
 (grid_sample align_corners=False, zero padding semantics: pixel coordinate
 = loc * size - 0.5), weighted by softmaxed attention weights and summed over
-(levels x points). A Pallas kernel (ops/pallas/msdeform.py) provides the
-fused fast path; this XLA version is the correctness oracle, mirroring the
-reference's fallback-as-oracle test strategy (ops/test.py).
+(levels x points). The fast path is ``impl='wide'`` (all four bilinear
+taps packed into one gather row — see ms_deform_attn_core); the plain
+4-tap XLA version is the correctness oracle, mirroring the reference's
+fallback-as-oracle test strategy (ops/test.py).
 """
 
 from __future__ import annotations
@@ -31,16 +32,33 @@ def ms_deform_attn_core(
 ) -> jax.Array:
     """Returns (B, Lq, heads * d).
 
-    Note on ``impl='pallas'``: this op is gather-bound — the per-level value
-    maps (e.g. res3 at 1024^2 input: 16k tokens x 512 ch = 33 MB) exceed
-    VMEM, so a fused kernel would issue scattered HBM loads per sampling
-    point, which TPU DMA handles worse than XLA's batched gather lowering.
-    The XLA path (4-tap take_along_axis + VPU weighted reduce) is the fast
-    path by design; 'pallas' currently aliases it. Revisit if a
-    locality-tiled variant (block queries + halo'd value tiles) proves out.
-    'xla_patch' fetches (2, 2, d) windows with one lax.gather per level
-    (4x fewer gather rows).
+    Implementations:
+    - 'xla'      : 4-tap take_along_axis + VPU weighted reduce — the
+                   correctness oracle.
+    - 'wide'     : THE fast path. The TPU HLO gather is row-rate bound
+                   (measured v5e: ~127M rows/s fp32 regardless of row
+                   width up to ~512B), so all 4 bilinear taps are packed
+                   into ONE row of a shifted-concat value map
+                   [v, v>>1x, v>>1y, v>>1xy] -> 4x fewer gather rows.
+                   Measured on res3-like shapes (scripts/bench_gather.py):
+                   21.6 ms (tap4 fp32) -> 13.6 ms (wide fp32) -> 8.9 ms
+                   (wide bf16), a 2.4x gather win incl. the concat build.
+                   End-to-end (v5e, 1024^2 bf16 evaluate_seg): 587.7 ->
+                   262.5 ms/img = 2.24x; panoptic eval 1.7 -> 3.85 img/s.
+    - 'xla_patch': (2, 2, d) window lax.gather — measured SLOWER (kept as
+                   a documented dead end).
+
+    Pallas note: a fused in-VMEM kernel was evaluated and rejected with
+    measurements — vector gathers don't lower inside Pallas TPU kernels,
+    the one-hot-matmul alternative is FLOP-prohibitive at res3, and
+    per-point DMAs are latency-bound (round-1 notes). 'wide' attacks the
+    real bottleneck (gather row issue rate) directly in XLA.
     """
+    if impl in ("wide", "pallas"):  # 'pallas' config value maps to fast path
+        return _ms_deform_attn_xla(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            wide=True,
+        )
     return _ms_deform_attn_xla(
         value, spatial_shapes, sampling_locations, attention_weights,
         patch=(impl == "xla_patch"),
@@ -60,8 +78,8 @@ def _bilinear_gather(v_flat, h, w, x, y):
     extra materialized intermediate), (2,2,d) patch lax.gather with 4x
     fewer rows ('xla_patch': 586 -> 1009 ms — multi-dim window gathers
     lower slower still). Heads sample at different locations, so rows
-    cannot be widened past 64 channels. Round-2 lever: a Pallas kernel
-    holding the per-head level value map in VMEM with an on-chip gather.
+    cannot be widened past 64 channels per tap — but the 4 taps of one
+    point CAN share a row, which is what 'wide' does (the round-2 fix).
     """
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -146,8 +164,68 @@ def _bilinear_gather_patch(v_map, h, w, x, y):
     return g00 * w00 + g01 * w01 + g10 * w10 + g11 * w11
 
 
+def _bilinear_gather_wide(v_flat, h, w, x, y):
+    """All-taps-in-one-row bilinear sample (the measured fast path).
+
+    Builds v4 = [v, v_right, v_down, v_downright] (B, heads, HW, 4d) with
+    rolls along the flattened HW axis (wrapped rows only ever correspond to
+    taps whose zero-padding weight is 0), then ONE gather at the clipped
+    top-left tap index fetches all four taps. Per-slot weights account for
+    index clipping at the borders (slot k holds pixel (y0c+ky, x0c+kx);
+    the true tap (y0+dy, x0+dx) lands at slot (dy+py, dx+px) with
+    px = x0c - x0 in {0, 1}).
+
+    v_flat: (B, heads, HW, d); x, y: (B, heads, Lq, P) pixel coords.
+    Returns (B, heads, Lq, P, d).
+    """
+    d = v_flat.shape[-1]
+    v4 = jnp.concatenate(
+        [
+            v_flat,
+            jnp.roll(v_flat, -1, axis=2),
+            jnp.roll(v_flat, -w, axis=2),
+            jnp.roll(v_flat, -(w + 1), axis=2),
+        ],
+        axis=-1,
+    )
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(v_flat.dtype)
+    fy = (y - y0).astype(v_flat.dtype)
+    x0c = jnp.clip(x0, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    px = (x0c - x0).astype(v_flat.dtype)  # 1 iff x0 == -1
+    py = (y0c - y0).astype(v_flat.dtype)
+
+    idx = (y0c * w + x0c).astype(jnp.int32)
+    b, nh, lq, p = idx.shape
+    g = jnp.take_along_axis(
+        v4, idx.reshape(b, nh, lq * p, 1), axis=2
+    ).reshape(b, nh, lq, p, 4, d)
+
+    # Tap weights with zero-padding validity (locations may be far out of
+    # bounds — predicted offsets are unconstrained — so check both sides).
+    def _in(lo, hi, t):
+        return ((t >= lo) & (t <= hi)).astype(v_flat.dtype)
+
+    wx0 = (1.0 - fx) * _in(0, w - 1, x0)
+    wx1 = fx * _in(0, w - 1, x0 + 1)
+    wy0 = (1.0 - fy) * _in(0, h - 1, y0)
+    wy1 = fy * _in(0, h - 1, y0 + 1)
+    # Slot weights after the clip shift.
+    sx0 = jnp.where(px > 0, wx1, wx0)
+    sx1 = jnp.where(px > 0, 0.0, wx1)
+    sy0 = jnp.where(py > 0, wy1, wy0)
+    sy1 = jnp.where(py > 0, 0.0, wy1)
+    wslot = jnp.stack(
+        [sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1
+    )  # (B, nh, Lq, P, 4)
+    return (g * wslot[..., None]).sum(axis=4)
+
+
 def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
-                        attention_weights, patch: bool = False):
+                        attention_weights, patch: bool = False,
+                        wide: bool = False):
     b, s, nh, d = value.shape
     lq = sampling_locations.shape[1]
     p = sampling_locations.shape[4]
@@ -165,7 +243,9 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
         # grid_sample align_corners=False: pixel = loc * size - 0.5
         x = loc[..., 0].transpose(0, 2, 1, 3) * wl - 0.5  # (B, nh, Lq, P)
         y = loc[..., 1].transpose(0, 2, 1, 3) * hl - 0.5
-        if patch:
+        if wide:
+            sampled = _bilinear_gather_wide(v_l, hl, wl, x, y)
+        elif patch:
             sampled = _bilinear_gather_patch(
                 v_l.reshape(b * nh, hl, wl, d),
                 hl, wl,
