@@ -87,7 +87,7 @@ class XDecoderPipeline:
             nheads=c.get("NHEADS", 8),
             dim_feedforward=c.get("DIM_FEEDFORWARD", 2048),
             dtype=c.get("DTYPE", "bfloat16"),
-            attn_impl=c.get("ATTN_IMPL", "xla"),
+            attn_impl=c.get("ATTN_IMPL", "auto"),
             msdeform_impl=c.get("MSDEFORM_IMPL", "wide"),
             pixel_decoder=c.get("PIXEL_DECODER", "msdeform"),
             detection=bool(c.get("DETECTION", False)),
