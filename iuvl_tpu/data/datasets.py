@@ -96,6 +96,8 @@ class SyntheticSegDataset:
             "width": s,
         }
         if self.step1 is not None:
+            from .step1 import spatial_prompt_arrays
+
             names = [f"object {labels[k]}" for k in range(n_inst)]
             caption = "a photo of " + " and ".join(
                 f"a {n}" for n in names[:3]
@@ -105,6 +107,9 @@ class SyntheticSegDataset:
                     caption, names, masks[:n_inst], mode="class", rs=rs
                 )
             )
+            item.update(spatial_prompt_arrays(
+                self.sampler, masks[:n_inst], self.mask_stride, rs
+            ))
         return item
 
 
@@ -309,7 +314,12 @@ class CocoPanopticDataset:
             "height": meta["height"], "width": meta["width"],
         }
         if self.sampler is not None:
+            from .step1 import spatial_prompt_arrays
+
             item["spatial_query"] = self.sampler(masks[:k].astype(bool))
+            item.update(spatial_prompt_arrays(
+                self.sampler, masks[:k], self.mask_stride, rs
+            ))
         if self.step1 is not None:
             caps = self.captions.get(int(ann["image_id"]))
             caption = caps[rs.randint(len(caps))] if caps else None

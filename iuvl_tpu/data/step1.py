@@ -159,6 +159,42 @@ def _nearest_resize(masks: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return masks[:, ys][:, :, xs]
 
 
+def spatial_prompt_arrays(
+    sampler,
+    masks_small: np.ndarray,  # (N, ms, ms) gt masks at mask stride
+    stride: int,
+    rs: np.random.RandomState,
+    capacity: int = 3,
+) -> dict[str, np.ndarray]:
+    """Dense spatial-prompt stream for ``loss_spatials`` training: up to
+    ``capacity`` instances get one ShapeSampler prompt each; one positive
+    click is drawn from the rasterized prompt and scaled to model INPUT
+    space (reference coco_panoptic_interactive mapper shape_sampler call,
+    :275-276)."""
+    ms = masks_small.shape[1:] if len(masks_small) else (0, 0)
+    pts = np.zeros((capacity, 2), np.float32)
+    labs = np.full((capacity,), -1, np.int32)
+    sm = np.zeros((capacity, *ms), np.float32)
+    val = np.zeros(capacity, bool)
+    if len(masks_small):
+        res = sampler(masks_small.astype(bool))
+        for k, (shape_mask, inst_idx) in enumerate(
+            zip(res["rand_shape"][:capacity], res["indices"][:capacity])
+        ):
+            ys, xs = np.nonzero(shape_mask)
+            if not len(ys):
+                continue
+            j = rs.randint(len(ys))
+            pts[k] = [xs[j] * stride + stride // 2, ys[j] * stride + stride // 2]
+            labs[k] = 1
+            sm[k] = masks_small[inst_idx]
+            val[k] = True
+    return {
+        "spatial_points": pts, "spatial_labels": labs,
+        "spatial_masks": sm, "spatial_valid": val,
+    }
+
+
 class ClassPromptBank:
     """Pre-tokenized (class x template) prompt bank: per train step, sample
     one template per class (reference get_text_embeddings is_eval=False,

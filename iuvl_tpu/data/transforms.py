@@ -31,9 +31,17 @@ def get_preprocess_shape(h: int, w: int, long_side: int) -> tuple[int, int]:
 
 
 def resize_longest_side(image: np.ndarray, long_side: int = 1024) -> np.ndarray:
-    """(H, W, 3) uint8 -> resized (h', w', 3), bilinear."""
+    """(H, W, 3) uint8 -> resized (h', w', 3), bilinear.
+
+    Path order: native C++/OpenMP core (iuvl_tpu/native, the loader's hot
+    half — multi-threaded, no GIL) -> PIL -> numpy."""
     h, w = image.shape[:2]
     new_h, new_w = get_preprocess_shape(h, w, long_side)
+    if image.dtype == np.uint8 and image.ndim == 3:
+        from .. import native
+
+        if native.available():
+            return native.resize_bilinear(image, new_h, new_w)
     if _HAS_PIL:
         pil = Image.fromarray(image.astype(np.uint8))
         return np.asarray(pil.resize((new_w, new_h), Image.BILINEAR))

@@ -128,6 +128,41 @@ def grounding_losses(
     }
 
 
+def spatial_losses(
+    rng: jax.Array,
+    pred_masks: jax.Array,  # (B, P, H, W) unified-head prompt-slot logits
+    gt_masks: jax.Array,  # (B, P, H, W) float {0,1}
+    valid: jax.Array,  # (B, P) bool
+    num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+) -> dict[str, jax.Array]:
+    """Spatial-prompt (visual-query) mask losses — the live counterpart of
+    reference loss_spatials (criterion.py:511-686). Point-sampled BCE +
+    dice on the prompt-slot masks. The reference Hungarian-matches unordered
+    spatial queries to targets; here each prompt slot is generated FROM its
+    target instance (forward_spatial_train), so the assignment is identity
+    and the pos-CE matching term is structurally satisfied."""
+    b, p = pred_masks.shape[:2]
+    src = pred_masks.reshape(b * p, *pred_masks.shape[2:]).astype(jnp.float32)
+    tgt = gt_masks.reshape(b * p, *gt_masks.shape[2:]).astype(jnp.float32)
+    coords = uncertain_point_coords(
+        rng, jax.lax.stop_gradient(src), num_points,
+        oversample_ratio, importance_sample_ratio,
+    )
+    pl_ = point_sample(src, coords)
+    tl = point_sample(tgt, jax.lax.stop_gradient(coords))
+    v = valid.reshape(b * p).astype(jnp.float32)
+    num = jnp.maximum(v.sum(), 1.0)
+    bce = ((jax.nn.softplus(pl_) - pl_ * tl).mean(-1) * v).sum() / num
+    probs = jax.nn.sigmoid(pl_)
+    dice = (
+        (1.0 - (2.0 * (probs * tl).sum(-1) + 1.0)
+         / (probs.sum(-1) + tl.sum(-1) + 1.0)) * v
+    ).sum() / num
+    return {"loss_spatial_bce_0": bce, "loss_spatial_dice_0": dice}
+
+
 def caption_loss(
     rng: jax.Array,
     pred_captions: jax.Array,  # (B, Q, D) per-query caption embeddings

@@ -363,8 +363,16 @@ class SysLearner(nn.Module):
             sam_embedding, points=points, labels=labels, boxes=boxes, masks=masks
         )
         n = sam_embedding.shape[0]
-        mf = jnp.broadcast_to(mask_features, (n, *mask_features.shape[1:]))
-        ms = [jnp.broadcast_to(x, (n, *x.shape[1:])) for x in multi_scale]
+
+        def tile(x):
+            if x.shape[0] == n:
+                return x
+            if x.shape[0] == 1:
+                return jnp.broadcast_to(x, (n, *x.shape[1:]))
+            return jnp.repeat(x, n // x.shape[0], axis=0)
+
+        mf = tile(mask_features)
+        ms = [tile(x) for x in multi_scale]
         out = self.predictor(
             ms, mf, text_embeddings=None,
             logit_scale=self.lang_encoder.logit_scale,
@@ -375,6 +383,29 @@ class SysLearner(nn.Module):
             sam_features=dec["upscaled_embedding"],
         )
         return out["pred_interactive_masks"][:, 0]
+
+    def forward_spatial_train(
+        self,
+        images: jax.Array,  # (B, H, W, 3)
+        points: jax.Array,  # (B, P, 2) one click per prompt, input space
+        labels: jax.Array,  # (B, P) 1 = positive, -1 = pad
+    ) -> jax.Array:
+        """Training forward for the spatial-prompt stream: each prompt is
+        SAM-decoded separately (batch B*P) and injected into the unified
+        decoder, so ``loss_spatials`` supervision trains the injection
+        (sam_query_proj / sam_feat_proj). Counterpart of the reference's
+        spatial task (criterion.py:511-686), whose decoder path is dead
+        code in the snapshot — here it rides the interactive path.
+        Returns (B, P, H/4, W/4) mask logits."""
+        b, p = points.shape[:2]
+        sam_embedding, mask_features, multi_scale = self.encode_interactive(images)
+        emb = jnp.repeat(sam_embedding, p, axis=0)
+        logits = self.decode_interactive(
+            emb, mask_features, multi_scale,
+            points=points.reshape(b * p, 1, 2),
+            labels=labels.reshape(b * p, 1),
+        )  # (B*P, H/4, W/4)
+        return logits.reshape(b, p, *logits.shape[1:])
 
     def evaluate_interactive_step(
         self,

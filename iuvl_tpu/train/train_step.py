@@ -64,6 +64,7 @@ def make_joint_train_step(
     match_points: int = 12544,
     captioning_weight: float = 2.0,
     retrieval_weight: float = 2.0,
+    spatial_weight: float = 5.0,  # reference mask bce/dice weight class
     language_loss_layers: int = 10,
     donate: bool = True,
 ) -> Callable:
@@ -91,6 +92,7 @@ def make_joint_train_step(
         captioning_loss,
         grounding_losses,
         retrieval_loss,
+        spatial_losses,
     )
     from ..losses.matcher import compute_match_cost, hungarian_match
 
@@ -197,6 +199,24 @@ def make_joint_train_step(
                 losses.update(
                     {k.replace("_0", suffix): v for k, v in g_losses.items()}
                 )
+
+        if "spatial_points" in seg_extras:
+            # Spatial-prompt stream: trains the SAM->unified-decoder
+            # injection (identical encode_image subgraph — XLA CSEs the
+            # backbone with the seg forward above).
+            rng, r_sp = jax.random.split(rng)
+            sp = model.apply(
+                params, seg_images, seg_extras["spatial_points"],
+                seg_extras["spatial_labels"],
+                method=type(model).forward_spatial_train,
+            )
+            losses.update({
+                k: spatial_weight * v
+                for k, v in spatial_losses(
+                    r_sp, sp, seg_extras["spatial_masks"],
+                    seg_extras["spatial_valid"], num_points=match_points,
+                ).items()
+            })
 
         if vlp_batch is not None:
             out = model.apply(

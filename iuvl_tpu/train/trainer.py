@@ -126,6 +126,7 @@ class Trainer:
         "phrase_ids", "phrase_mask", "phrase_valid", "phrase_groups",
         "grounding_ids", "grounding_mask", "grounding_masks",
         "grounding_groups", "grounding_task_weight",
+        "spatial_points", "spatial_labels", "spatial_masks", "spatial_valid",
     )
 
     def _seg_extras_from_batch(self, seg_batch) -> dict | None:
@@ -211,8 +212,12 @@ class Trainer:
                 P(),
             )
 
-        from ..runtime.observability import MetricsLogger
+        from ..runtime.observability import MetricsLogger, nan_guard, profile_trace
 
+        if cfg.get("DEBUG_NANS"):
+            # SURVEY §5 race/NaN guard: fail fast inside the jitted step.
+            self._nan_ctx = nan_guard(True)
+            self._nan_ctx.__enter__()
         mlog = MetricsLogger(self.run_dir, resume=bool(cfg.get("RESUME")))
         meters = LossMeter()
         thru = Throughput()
@@ -222,10 +227,22 @@ class Trainer:
         eval_during_train = cfg.get("EVAL_DURING_TRAIN", False)
         last_metrics: dict[str, Any] = {}
 
+        profile_dir = cfg.get("PROFILE_TRACE_DIR")
+        profile_steps = cfg.get("PROFILE_STEPS", 3)
+        prof_ctx = None
+
         step = int(jax.device_get(state.step))
         for batch in loader:
             if step >= epochs * steps_per_epoch:
                 break
+            if profile_dir and prof_ctx is None and step == 1:
+                # Trace steps [1, 1+PROFILE_STEPS) — skips the compile step.
+                prof_ctx = profile_trace(profile_dir)
+                prof_ctx.__enter__()
+            if prof_ctx is not None and step >= 1 + profile_steps:
+                prof_ctx.__exit__(None, None, None)
+                prof_ctx = None
+                profile_dir = None
             seg_batch = batch["seg"] if use_joint_step else batch
             targets = SegTargets(
                 labels=self._shard(jnp.asarray(seg_batch["labels"]), P("data")),
@@ -284,6 +301,8 @@ class Trainer:
                     )
                     mlog.log(step, results)
                     logger.info("eval @%d: %s", step, format_metrics(results))
+        if prof_ctx is not None:
+            prof_ctx.__exit__(None, None, None)
         self.ckpt.save(step, jax.device_get(state), wait=True)
         mlog.log(step, last_metrics or meters.averages())
         return {"final_step": step, **(last_metrics or meters.averages())}

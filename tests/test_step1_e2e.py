@@ -53,7 +53,9 @@ def test_step1_losses_fire_and_decrease():
         k: jnp.asarray(batch[k])
         for k in ("phrase_ids", "phrase_mask", "phrase_valid", "phrase_groups",
                   "grounding_ids", "grounding_mask", "grounding_masks",
-                  "grounding_groups", "grounding_task_weight")
+                  "grounding_groups", "grounding_task_weight",
+                  "spatial_points", "spatial_labels", "spatial_masks",
+                  "spatial_valid")
     }
     seg_extras["grounding_target_valid"] = jnp.asarray(batch["grounding_valid"])
 
@@ -91,6 +93,7 @@ def test_step1_losses_fire_and_decrease():
 
     for key in ("loss_caption_0", "loss_grounding_bce_0",
                 "loss_grounding_dice_0", "loss_grounding_ce_0",
+                "loss_spatial_bce_0", "loss_spatial_dice_0",
                 "loss_mask_ce_0"):
         assert key in first_metrics, sorted(first_metrics)
         assert np.isfinite(first_metrics[key]), key
