@@ -41,6 +41,9 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     dtype: str = "bfloat16"
+    quant: str = "none"  # "int8" = weight-only per-channel int8 (the
+    # reference's bitsandbytes 8-bit load, llm/load_llm.py:29-49): halves
+    # the HBM weight footprint/traffic of the frozen 7B at serving time.
 
 
 def rotary_embed(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
@@ -66,6 +69,37 @@ class RMSNorm(nn.Module):
         return (norm * w).astype(x.dtype)
 
 
+class QuantDense(nn.Module):
+    """Weight-only int8 linear: int8 kernel + per-output-channel fp32 scale
+    (absmax). The dequant multiply fuses into the matmul's operand read, so
+    weights stream from HBM as int8. Populate params via
+    ``quant.quantize_llama_params`` on a trained fp tree."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kq = self.param(
+            "kernel_q", nn.initializers.zeros_init(), (in_f, self.features),
+            jnp.int8,
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,),
+            jnp.float32,
+        )
+        w = kq.astype(self.dtype) * scale.astype(self.dtype)[None, :]
+        return x @ w
+
+
+def _dense(cfg: LlamaConfig, features: int, name: str):
+    dtype = jnp.dtype(cfg.dtype)
+    if cfg.quant == "int8":
+        return QuantDense(features=features, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
+
+
 class LlamaAttention(nn.Module):
     cfg: LlamaConfig
 
@@ -76,9 +110,9 @@ class LlamaAttention(nn.Module):
         head_dim = c.dim // c.heads
         b, t, _ = x.shape
 
-        q = nn.Dense(c.heads * head_dim, use_bias=False, dtype=dtype, name="q_proj")(x)
-        k = nn.Dense(c.kv_heads * head_dim, use_bias=False, dtype=dtype, name="k_proj")(x)
-        v = nn.Dense(c.kv_heads * head_dim, use_bias=False, dtype=dtype, name="v_proj")(x)
+        q = _dense(c, c.heads * head_dim, "q_proj")(x)
+        k = _dense(c, c.kv_heads * head_dim, "k_proj")(x)
+        v = _dense(c, c.kv_heads * head_dim, "v_proj")(x)
         q = q.reshape(b, t, c.heads, head_dim)
         k = k.reshape(b, t, c.kv_heads, head_dim)
         v = v.reshape(b, t, c.kv_heads, head_dim)
@@ -107,7 +141,7 @@ class LlamaAttention(nn.Module):
         attn = attn + mask  # (B or 1, 1, T, S) additive
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, -1)
-        return nn.Dense(c.dim, use_bias=False, dtype=dtype, name="o_proj")(out)
+        return _dense(c, c.dim, "o_proj")(out)
 
 
 class LlamaBlock(nn.Module):
@@ -120,11 +154,9 @@ class LlamaBlock(nn.Module):
         h = RMSNorm(eps=c.rms_eps, name="input_norm")(x)
         x = x + LlamaAttention(cfg=c, name="attn")(h, positions, mask, cache)
         h = RMSNorm(eps=c.rms_eps, name="post_attn_norm")(x)
-        gate = nn.Dense(c.ffn_dim, use_bias=False, dtype=dtype, name="gate_proj")(h)
-        up = nn.Dense(c.ffn_dim, use_bias=False, dtype=dtype, name="up_proj")(h)
-        down = nn.Dense(
-            c.dim, use_bias=False, dtype=dtype, name="down_proj"
-        )(nn.silu(gate) * up)
+        gate = _dense(c, c.ffn_dim, "gate_proj")(h)
+        up = _dense(c, c.ffn_dim, "up_proj")(h)
+        down = _dense(c, c.dim, "down_proj")(nn.silu(gate) * up)
         return x + down
 
 
@@ -243,6 +275,12 @@ def llama_param_shardings(params: Any) -> Any:
 
     def spec(path, leaf):
         name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if name.endswith("kernel_scale"):
+            # Per-output-channel scales follow the kernel's output sharding.
+            if any(s in name for s in ("q_proj", "k_proj", "v_proj",
+                                       "gate_proj", "up_proj")):
+                return P("model")
+            return P()
         if leaf.ndim != 2:
             return P()
         if any(s in name for s in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")):

@@ -464,18 +464,27 @@ class XDecoderPipeline:
             ffn_dim=lcfg_d.get("FFN_DIM", 11008),
             max_seq_len=self.cfg.get("LLM_MAX_LEN", 1024),
             dtype=self.cfg.get("DTYPE", "bfloat16"),
+            quant=self.cfg.get("LLM_QUANT", "none"),
         )
+        import dataclasses as _dc
+
         llm = LlamaForCausalLM(cfg=lcfg)
+        fp_cfg = _dc.replace(lcfg, quant="none")
         if self.cfg.get("LLM_WEIGHTS"):
             from .models.llm.convert import load_hf_llama_params
 
-            llm_params = load_hf_llama_params(self.cfg["LLM_WEIGHTS"], lcfg)
+            llm_params = load_hf_llama_params(self.cfg["LLM_WEIGHTS"], fp_cfg)
         else:
-            llm_params = llm.init(
+            llm_params = LlamaForCausalLM(cfg=fp_cfg).init(
                 jax.random.PRNGKey(1),
                 jnp.zeros((1, 4, lcfg.dim), jnp.float32),
                 jnp.ones((1, 4), jnp.int32),
             )
+        if lcfg.quant == "int8":
+            # Weight-only int8 serving footprint (reference 8-bit load).
+            from .models.llm.quant import quantize_llama_params
+
+            llm_params = quantize_llama_params(jax.device_get(llm_params))
         n = len(ds) if max_batches is None else min(len(ds), max_batches)
         for i in range(n):
             item = ds[i]

@@ -12,6 +12,7 @@ no DDP wrapper, MPI adapter or grad scaler to manage; one jitted train step
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 from typing import Any
@@ -352,18 +353,25 @@ class Trainer:
             ffn_dim=lcfg_d.get("FFN_DIM", 11008),
             max_seq_len=cfg.get("LLM_MAX_LEN", 1024),
             dtype=cfg.get("DTYPE", "bfloat16"),
+            quant=cfg.get("LLM_QUANT", "none"),
         )
         llm = LlamaForCausalLM(cfg=lcfg)
+        fp_cfg = dataclasses.replace(lcfg, quant="none")
         if cfg.get("LLM_WEIGHTS"):
             from ..models.llm.convert import load_hf_llama_params
 
-            llm_params = load_hf_llama_params(cfg["LLM_WEIGHTS"], lcfg)
+            llm_params = load_hf_llama_params(cfg["LLM_WEIGHTS"], fp_cfg)
         else:
-            llm_params = llm.init(
+            llm_params = LlamaForCausalLM(cfg=fp_cfg).init(
                 jax.random.PRNGKey(1),
                 jnp.zeros((1, 4, lcfg.dim), jnp.float32),
                 jnp.ones((1, 4), jnp.int32),
             )
+        if lcfg.quant == "int8":
+            # Weight-only int8 for the frozen LLM (reference 8-bit load).
+            from ..models.llm.quant import quantize_llama_params
+
+            llm_params = quantize_llama_params(jax.device_get(llm_params))
         specs = llama_param_shardings(llm_params)
         llm_params = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),

@@ -183,3 +183,40 @@ def test_beam_generate_matches_greedy_with_one_beam(llm_and_params):
         e = model.apply(params, prefix, method=LlamaForCausalLM.embed)
         logits = model.apply(params, e, jnp.ones_like(prefix))
         assert int(jnp.argmax(logits[0, -1])) == int(toks[t]), f"token {t}"
+
+
+def test_int8_quantized_llama_matches_fp(llm_and_params):
+    """Weight-only int8 (the reference's bitsandbytes-8bit role): logits
+    close to fp, memory roughly halved on the projection weights."""
+    import dataclasses
+
+    from iuvl_tpu.models.llm.quant import (
+        quantize_llama_params, quantized_size_bytes,
+    )
+
+    model, params = llm_and_params
+    qcfg = dataclasses.replace(model.cfg, quant="int8")
+    qmodel = LlamaForCausalLM(cfg=qcfg)
+    qparams = quantize_llama_params(jax.device_get(params))
+
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, 64, (1, 6)))
+    emb = model.apply(params, ids, method=LlamaForCausalLM.embed)
+    ref = np.asarray(model.apply(params, emb, jnp.ones((1, 6), jnp.int32)))
+    out = np.asarray(qmodel.apply(qparams, emb, jnp.ones((1, 6), jnp.int32)))
+    # int8 weight rounding: logits agree to ~1e-2 on a tiny random model.
+    np.testing.assert_allclose(out, ref, atol=5e-2, rtol=5e-2)
+
+    # greedy decode agrees for a few tokens
+    from iuvl_tpu.models.llm.multimodal import greedy_generate
+
+    g_fp = greedy_generate(model, params, emb, jnp.ones((1, 6), jnp.int32),
+                           max_new_tokens=3)
+    g_q = greedy_generate(qmodel, qparams, emb, jnp.ones((1, 6), jnp.int32),
+                          max_new_tokens=3)
+    assert np.asarray(g_fp).shape == np.asarray(g_q).shape
+
+    fp_bytes = quantized_size_bytes(
+        {"p": params["params"]["layer0"]}
+    )
+    q_bytes = quantized_size_bytes({"p": qparams["params"]["layer0"]})
+    assert q_bytes < 0.5 * fp_bytes  # fp32 kernels -> int8 (+tiny scales)
