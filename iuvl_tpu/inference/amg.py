@@ -116,26 +116,21 @@ def mask_nms(masks: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.7):
     return np.asarray(kept, np.int64)
 
 
-def generate_masks(
-    model, params, image, points_per_side: int = 32, batch: int = 64,
-    pred_iou_thresh: float = 0.88, stability_thresh: float = 0.95,
-    nms_thresh: float = 0.7,
-):
-    """Full AMG over one image: encode once, decode the point grid in
-    prompt batches, filter by predicted IoU + stability, NMS.
-    Returns dict(masks (K, H', W') bool, scores (K,))."""
-    import jax
+def _decode_grid(model, params, image, grid, batch, pred_iou_thresh,
+                 stability_thresh):
+    """Encode one (1, S, S, 3) image, decode the point grid in prompt
+    batches, filter by predicted IoU + stability. Returns (logits, scores)
+    with logits at S/4 resolution."""
     import jax.numpy as jnp
 
-    h, w = image.shape[1:3]
+    # Sam exposes decode_from_embedding (raw encode_image: caller
+    # normalizes); SysLearner exposes decode_prompts (encode_image
+    # normalizes internally). Same prompt-decode contract.
+    decode_m = getattr(type(model), "decode_prompts", None)
+    if decode_m is None:
+        decode_m = type(model).decode_from_embedding
+        image = model.apply(params, image, method=type(model).normalize)
     sam_emb, _ = model.apply(params, image, method=type(model).encode_image)
-    grid = build_point_grid(points_per_side) * np.asarray([w, h])
-
-    decode = jax.jit(
-        lambda p, emb, pts, labs: model.apply(
-            p, emb, points=pts, labels=labs, method=type(model).decode_prompts
-        )["masks"]
-    )
     all_logits, all_iou = [], []
     emb_tiled = jnp.broadcast_to(sam_emb, (batch, *sam_emb.shape[1:]))
     for start in range(0, len(grid), batch):
@@ -145,21 +140,85 @@ def generate_masks(
         out = model.apply(
             params, emb_tiled, points=jnp.asarray(pts),
             labels=jnp.ones((batch, 1), jnp.int32),
-            method=type(model).decode_prompts,
+            method=decode_m,
         )
-        logits = np.asarray(out["masks"][: len(chunk), 0])
-        all_logits.append(logits)
+        all_logits.append(np.asarray(out["masks"][: len(chunk), 0]))
         all_iou.append(np.asarray(out["iou_pred"][: len(chunk), 0]))
     logits = np.concatenate(all_logits)
     iou_pred = np.concatenate(all_iou)
 
     keep = iou_pred > pred_iou_thresh
-    stab = stability_score(logits)
-    keep &= stab > stability_thresh
-    logits = logits[keep]
-    scores = iou_pred[keep]
-    masks = logits > 0
-    if len(masks) == 0:
-        return {"masks": masks, "scores": scores}
+    keep &= stability_score(logits) > stability_thresh
+    return logits[keep], iou_pred[keep]
+
+
+def generate_masks(
+    model, params, image, points_per_side: int = 32, batch: int = 64,
+    pred_iou_thresh: float = 0.88, stability_thresh: float = 0.95,
+    nms_thresh: float = 0.7, crop_n_layers: int = 0,
+    crop_overlap_ratio: float = 512 / 1500,
+):
+    """Full AMG over one image (reference sam/utils/amg.py +
+    SamAutomaticMaskGenerator): encode once per crop, decode the per-layer
+    point grid in prompt batches, filter by predicted IoU + stability, NMS
+    across all crops. ``crop_n_layers`` > 0 adds zoomed-in crop layers
+    (layer i: (2^i)^2 overlapping crops, per-layer downscaled grids) whose
+    masks are up-pasted into full-image space before the global NMS.
+    Returns dict(masks (K, S/4, S/4) bool, scores (K,))."""
+    s = image.shape[1]
+    ms = s // 4  # SAM mask logits resolution
+    grids = build_all_layer_point_grids(points_per_side, crop_n_layers, 2)
+    crop_boxes, layer_idxs = generate_crop_boxes(
+        (s, s), crop_n_layers, crop_overlap_ratio
+    )
+
+    masks_all, scores_all = [], []
+    for box, layer in zip(crop_boxes, layer_idxs):
+        x0, y0, x1, y1 = box
+        cw, ch = x1 - x0, y1 - y0
+        grid = grids[layer] * np.asarray([s, s])  # points in CROP-resized space
+        if layer == 0:
+            crop_img = image
+        else:
+            # Crop then resize back to the model's square input.
+            from ..data.transforms import resize_longest_side
+
+            crop_np = np.asarray(image[0, y0:y1, x0:x1]).astype(np.uint8)
+            crop_img = resize_longest_side(crop_np, s)[None].astype(np.float32)
+            if crop_img.shape[1:3] != (s, s):
+                padded = np.zeros((1, s, s, 3), np.float32)
+                padded[0, : crop_img.shape[1], : crop_img.shape[2]] = crop_img[0]
+                crop_img = padded
+        logits, scores = _decode_grid(
+            model, params, crop_img, grid, batch, pred_iou_thresh,
+            stability_thresh,
+        )
+        if len(logits) == 0:
+            continue
+        m = logits > 0
+        if layer > 0:
+            # Un-crop: resize crop masks to the crop's footprint at the
+            # mask resolution and paste into the full-image canvas.
+            mh = max(1, round(ch / 4))
+            mw = max(1, round(cw / 4))
+            ys = np.clip((np.arange(mh) * m.shape[1] / mh).astype(int),
+                         0, m.shape[1] - 1)
+            xs = np.clip((np.arange(mw) * m.shape[2] / mw).astype(int),
+                         0, m.shape[2] - 1)
+            resized = m[:, ys][:, :, xs]
+            canvas = np.zeros((len(m), ms, ms), bool)
+            oy, ox = y0 // 4, x0 // 4
+            canvas[:, oy : oy + mh, ox : ox + mw] = resized[
+                :, : ms - oy, : ms - ox
+            ]
+            m = canvas
+        masks_all.append(m)
+        scores_all.append(scores)
+
+    if not masks_all:
+        empty = np.zeros((0, ms, ms), bool)
+        return {"masks": empty, "scores": np.zeros(0, np.float32)}
+    masks = np.concatenate(masks_all)
+    scores = np.concatenate(scores_all)
     kept = mask_nms(masks, scores, nms_thresh)
     return {"masks": masks[kept], "scores": scores[kept]}

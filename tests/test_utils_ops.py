@@ -158,3 +158,34 @@ def test_export_decode_roundtrip():
     labs = jnp.ones((2, 1), jnp.int32)
     masks = fn.call(params, emb, pts, labs)
     assert masks.shape == (2, 4, 16, 16)
+
+
+def test_generate_masks_multicrop():
+    """AMG with crop layers: crop masks are up-pasted into full-image space
+    and survive the global NMS (reference SamAutomaticMaskGenerator
+    crop_n_layers path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iuvl_tpu.inference.amg import generate_masks
+    from iuvl_tpu.models.sam.build import Sam, SamConfig
+    import iuvl_tpu.models.sam.build as sb
+
+    sb.SAM_VARIANTS["tiny_test"] = dict(
+        embed_dim=32, depth=2, num_heads=2, global_attn_indexes=(1,)
+    )
+    cfg = SamConfig(**sb.SAM_VARIANTS["tiny_test"], img_size=64)
+    model = Sam(cfg=cfg)
+    img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), img0, jnp.zeros((1, 1, 2)),
+        jnp.ones((1, 1), jnp.int32),
+    )
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 255
+    out = generate_masks(
+        model, params, img, points_per_side=4, batch=8,
+        pred_iou_thresh=-10.0, stability_thresh=-1.0, crop_n_layers=1,
+    )
+    assert out["masks"].shape[1:] == (16, 16)
+    assert len(out["masks"]) == len(out["scores"])
+    assert len(out["masks"]) > 0
