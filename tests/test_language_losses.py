@@ -141,3 +141,49 @@ def test_caption_loss_finite_and_sensible():
         class_emb, phr, phr_valid, groups, jnp.asarray(np.log(10.0)),
     )
     assert float(loss_aligned) < float(loss)
+
+
+def test_openimage_losses():
+    """Openimage mode: CE favors the positive class of the matched query;
+    a query aligned with its class embedding drives the CE down."""
+    import jax
+    import jax.numpy as jnp
+
+    from iuvl_tpu.losses.openimage import openimage_losses
+
+    rs = np.random.RandomState(0)
+    b, q, t, n, d, h, w = 1, 4, 2, 6, 16, 8, 8
+    pos = rs.randn(b, t, d).astype(np.float32)
+    neg = rs.randn(n, d).astype(np.float32)
+    tgt_masks = np.zeros((b, t, h, w), np.float32)
+    tgt_masks[0, 0, :4] = 1.0
+    tgt_masks[0, 1, 4:] = 1.0
+
+    # Aligned: queries 0/1 carry the pos embeddings and the right masks.
+    caps = rs.randn(b, q, d).astype(np.float32) * 0.01
+    caps[0, 0] = pos[0, 0] * 5
+    caps[0, 1] = pos[0, 1] * 5
+    pred_masks = np.full((b, q, h, w), -8.0, np.float32)
+    pred_masks[0, 0, :4] = 8.0
+    pred_masks[0, 1, 4:] = 8.0
+
+    good = openimage_losses(
+        jax.random.PRNGKey(0), jnp.asarray(caps), jnp.asarray(pred_masks),
+        jnp.asarray(pos), jnp.asarray(tgt_masks), jnp.ones((b, t), bool),
+        jnp.asarray(neg), jnp.asarray(2.0), num_points=64,
+    )
+    # Misaligned: query embeddings point at negatives.
+    caps_bad = caps.copy()
+    caps_bad[0, 0] = neg[0] * 5
+    caps_bad[0, 1] = neg[1] * 5
+    bad = openimage_losses(
+        jax.random.PRNGKey(0), jnp.asarray(caps_bad), jnp.asarray(pred_masks),
+        jnp.asarray(pos), jnp.asarray(tgt_masks), jnp.ones((b, t), bool),
+        jnp.asarray(neg), jnp.asarray(2.0), num_points=64,
+    )
+    for k, v in good.items():
+        assert np.isfinite(float(v)), k
+    assert float(good["loss_openimage_ce_0"]) < float(bad["loss_openimage_ce_0"])
+    # bce/dice reflect the (boundary-band) point sampling; just require the
+    # matched masks to be clearly better than chance.
+    assert float(good["loss_openimage_dice_0"]) < 0.2
