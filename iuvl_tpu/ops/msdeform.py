@@ -43,8 +43,10 @@ def ms_deform_attn_core(
                    Measured on res3-like shapes (scripts/bench_gather.py):
                    21.6 ms (tap4 fp32) -> 13.6 ms (wide fp32) -> 8.9 ms
                    (wide bf16), a 2.4x gather win incl. the concat build.
-                   End-to-end (v5e, 1024^2 bf16 evaluate_seg): 587.7 ->
-                   262.5 ms/img = 2.24x; panoptic eval 1.7 -> 3.85 img/s.
+                   Plus a flat 2-D gather lowering (collapsed batch
+                   dims): 8.58 -> 3.69 ms per tap-set. End-to-end (v5e,
+                   1024^2 bf16 evaluate_seg): 587.7 -> 171.5 ms/img =
+                   3.43x; panoptic eval 1.7 -> 5.93 img/s.
     - 'xla_patch': (2, 2, d) window lax.gather — measured SLOWER (kept as
                    a documented dead end).
 
@@ -199,8 +201,18 @@ def _bilinear_gather_wide(v_flat, h, w, x, y):
 
     idx = (y0c * w + x0c).astype(jnp.int32)
     b, nh, lq, p = idx.shape
-    g = jnp.take_along_axis(
-        v4, idx.reshape(b, nh, lq * p, 1), axis=2
+    # Flat 2-D gather: collapsing the (B, heads) batching dims into the row
+    # index lowers to a ~2.3x faster HLO gather path than the batched
+    # take_along_axis (measured v5e: 8.58 -> 3.69 ms, 186M rows/s, on
+    # res3-like shapes — scripts/bench_gather.py variants).
+    hw = h * w
+    base = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, nh, lq, p), 0) * (nh * hw)
+        + jax.lax.broadcasted_iota(jnp.int32, (b, nh, lq, p), 1) * hw
+    )
+    flat_idx = (base + idx).reshape(-1)
+    g = jnp.take(
+        v4.reshape(b * nh * hw, 4 * d), flat_idx, axis=0, mode="clip"
     ).reshape(b, nh, lq, p, 4, d)
 
     # Tap weights with zero-padding validity (locations may be far out of
