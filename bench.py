@@ -48,12 +48,11 @@ def main():
         """Encode once + scan over decode chunks; returns a checksum."""
         normalized = model.apply(params, img, method=Sam.normalize)
         emb, _ = model.apply(params, normalized, method=Sam.encode_image)
-        emb_tiled = jnp.broadcast_to(emb, (chunk, *emb.shape[1:]))
 
         def body(carry, inp):
             pts, labs = inp
             masks = model.apply(
-                params, emb_tiled, points=pts, labels=labs,
+                params, emb, points=pts, labels=labs,
                 method=Sam.decode_from_embedding,
             )["masks"]
             return carry + masks.mean().astype(jnp.float32), None

@@ -132,13 +132,12 @@ def _decode_grid(model, params, image, grid, batch, pred_iou_thresh,
         image = model.apply(params, image, method=type(model).normalize)
     sam_emb, _ = model.apply(params, image, method=type(model).encode_image)
     all_logits, all_iou = [], []
-    emb_tiled = jnp.broadcast_to(sam_emb, (batch, *sam_emb.shape[1:]))
     for start in range(0, len(grid), batch):
         chunk = grid[start : start + batch]
         pts = np.zeros((batch, 1, 2), np.float32)
         pts[: len(chunk), 0] = chunk
         out = model.apply(
-            params, emb_tiled, points=jnp.asarray(pts),
+            params, sam_emb, points=jnp.asarray(pts),
             labels=jnp.ones((batch, 1), jnp.int32),
             method=decode_m,
         )

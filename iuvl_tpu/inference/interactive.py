@@ -67,7 +67,7 @@ def make_interactive_loop(
     ``loop(params, sam_embedding, mask_features, multi_scale, gt_masks,
     first_clicks, rng) -> (ious (rounds, N), final_masks (N, H, W))``.
 
-    - ``sam_embedding``: (1, 64, 64, 256) cached encoder output, tiled to N.
+    - ``sam_embedding``: (1, 64, 64, 256) cached encoder output (stays batch-1).
     - ``mask_features`` / ``multi_scale``: cached pixel-decoder products
       (batch 1; pass None with ``unified=False`` for the SAM-only ablation).
     - ``gt_masks``: (N, H, W) bool at model INPUT resolution (the caller maps
@@ -78,7 +78,7 @@ def make_interactive_loop(
     def loop(params, sam_embedding, mask_features, multi_scale, gt_masks,
              first_clicks, rng):
         n, gh, gw = gt_masks.shape
-        emb = jnp.broadcast_to(sam_embedding, (n, *sam_embedding.shape[1:]))
+        emb = sam_embedding  # batch-1: the mask decoder broadcasts lazily
 
         points0 = jnp.zeros((n, max_clicks, 2), jnp.float32)
         labels0 = jnp.full((n, max_clicks), -1, jnp.int32)  # -1 = pad
@@ -137,7 +137,7 @@ def single_shot_eval(
     import numpy as np
 
     n, gh, gw = gt_masks.shape
-    emb = jnp.broadcast_to(sam_embedding, (n, *sam_embedding.shape[1:]))
+    emb = sam_embedding  # batch-1: the mask decoder broadcasts lazily
     if prompt_type == "box":
         assert boxes is not None
         out = model.apply(

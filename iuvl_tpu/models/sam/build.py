@@ -103,8 +103,10 @@ class Sam(nn.Module):
     def decode_from_embedding(
         self, sam_embedding, points=None, labels=None, boxes=None, masks=None
     ):
-        """Per-prompt decode. sam_embedding (B, H, W, 256) is tiled by the
-        caller to match the prompt batch. Returns the MaskDecoder dict."""
+        """Per-prompt decode. sam_embedding (1 or B, H, W, 256) — batch-1 is
+        the fast path (shared image, per-prompt tokens; the mask decoder
+        broadcasts it lazily instead of the caller tiling it). Returns the
+        MaskDecoder dict."""
         sparse, dense = self.prompt_encoder(
             points=points, labels=labels, boxes=boxes, masks=masks,
             batch=sam_embedding.shape[0],

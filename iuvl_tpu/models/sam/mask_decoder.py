@@ -25,9 +25,37 @@ import jax.numpy as jnp
 from .image_encoder import LayerNorm2d
 
 
+class _Proj(nn.Module):
+    """Raw Dense parameters (same tree paths/inits as nn.Dense) returned
+    unapplied, so the caller can fuse matmuls and fold PE terms."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class DownsampledAttention(nn.Module):
     """Attention with internal-dim downsampling
-    (reference sam/modeling/transformer.py:185-240)."""
+    (reference sam/modeling/transformer.py:185-240).
+
+    TPU notes (this path dominates the one-encode/many-decode bench):
+    - q/k/v positional terms are passed separately (``q_pe``/``k_pe``) and
+      folded through the projections: proj(x + pe) == proj(x) + pe @ W. With
+      a batch-1 image PE this removes two (B, HW, C)-sized adds per call and
+      projects the PE once instead of per prompt.
+    - when k and v are the same tensor (token->image cross attention), their
+      projections run as ONE wider matmul.
+    - head split/merge is expressed inside the einsums (bqhd/bkhd layouts),
+      avoiding 4 materialized (B, HW, internal) transposes per call.
+    All algebraically identical to the reference (linear reassociation)."""
 
     embedding_dim: int
     num_heads: int
@@ -35,26 +63,67 @@ class DownsampledAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        q: jax.Array,
+        k: jax.Array,
+        v: jax.Array,
+        q_pe: jax.Array | None = None,
+        k_pe: jax.Array | None = None,
+    ) -> jax.Array:
         internal = self.embedding_dim // self.downsample_rate
         head_dim = internal // self.num_heads
-        qp = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q)
-        kp = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k)
-        vp = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v)
+        h = self.num_heads
+        in_dim = q.shape[-1]
+        wq, bq = _Proj(in_dim, internal, name="q_proj")()
+        wk, bk = _Proj(in_dim, internal, name="k_proj")()
+        wv, bv = _Proj(in_dim, internal, name="v_proj")()
+        dt = self.dtype
+        cast = lambda t: t.astype(dt)
 
-        def split(t):
-            b, n, _ = t.shape
-            return t.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        qp = cast(q) @ cast(wq)
+        if q_pe is not None:
+            qp = qp + cast(q_pe) @ cast(wq)
+        qp = qp + cast(bq)
 
-        qp, kp, vp = split(qp), split(kp), split(vp)
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", qp, kp, preferred_element_type=jnp.float32
-        ) / (head_dim ** 0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(vp.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp)
-        b, _, n, _ = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, internal)
-        return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(out)
+        if k is v:
+            kvp = cast(k) @ cast(jnp.concatenate([wk, wv], axis=1))
+            kp = kvp[..., :internal] + cast(bk)
+            vp = kvp[..., internal:] + cast(bv)
+        else:
+            kp = cast(k) @ cast(wk) + cast(bk)
+            vp = cast(v) @ cast(wv) + cast(bv)
+        if k_pe is not None:
+            kp = kp + cast(k_pe) @ cast(wk)
+
+        nq, nk = qp.shape[1], kp.shape[1]
+        qh = qp.reshape(qp.shape[0], nq, h, head_dim)
+        kh = kp.reshape(kp.shape[0], nk, h, head_dim)
+        vh = vp.reshape(vp.shape[0], nk, h, head_dim)
+
+        # Batch-1 operands broadcast against per-prompt ones (the shared
+        # image embedding stays batch-1 until token->image attention first
+        # writes into it — see TwoWayTransformer docstring).
+        if kh.shape[0] == 1 and qh.shape[0] != 1:
+            attn = jnp.einsum(
+                "bqhd,khd->bhqk", qh, kh[0], preferred_element_type=jnp.float32
+            )
+        elif qh.shape[0] == 1 and kh.shape[0] != 1:
+            attn = jnp.einsum(
+                "qhd,bkhd->bhqk", qh[0], kh, preferred_element_type=jnp.float32
+            )
+        else:
+            attn = jnp.einsum(
+                "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            )
+        attn = jax.nn.softmax(attn / (head_dim ** 0.5), axis=-1).astype(vh.dtype)
+        if vh.shape[0] == 1 and attn.shape[0] != 1:
+            out = jnp.einsum("bhqk,khd->bqhd", attn, vh[0])
+        else:
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+        out = out.reshape(attn.shape[0], nq, internal)
+        wo, bo = _Proj(internal, self.embedding_dim, name="out_proj")()
+        return out @ cast(wo) + cast(bo)
 
 
 class TwoWayAttentionBlock(nn.Module):
@@ -69,24 +138,24 @@ class TwoWayAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
+        """query_pe: (B, T, C); key_pe: (1 or B, HW, C) — PE tensors are
+        passed into the attention modules unfused (folded through the
+        projections there), so a batch-1 key_pe is never tiled per prompt."""
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
         if self.skip_first_layer_pe:
             queries = DownsampledAttention(
                 self.embedding_dim, self.num_heads, dtype=self.dtype, name="self_attn"
             )(queries, queries, queries)
         else:
-            q = queries + query_pe
             queries = queries + DownsampledAttention(
                 self.embedding_dim, self.num_heads, dtype=self.dtype, name="self_attn"
-            )(q, q, queries)
+            )(queries, queries, queries, q_pe=query_pe, k_pe=query_pe)
         queries = ln("norm1")(queries)
 
-        q = queries + query_pe
-        k = keys + key_pe
         queries = queries + DownsampledAttention(
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             dtype=self.dtype, name="cross_attn_t2i",
-        )(q, k, keys)
+        )(queries, keys, keys, q_pe=query_pe, k_pe=key_pe)
         queries = ln("norm2")(queries)
 
         y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_lin1")(queries)
@@ -94,12 +163,10 @@ class TwoWayAttentionBlock(nn.Module):
         y = nn.Dense(self.embedding_dim, dtype=self.dtype, name="mlp_lin2")(y)
         queries = ln("norm3")(queries + y)
 
-        q = queries + query_pe
-        k = keys + key_pe
         keys = keys + DownsampledAttention(
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             dtype=self.dtype, name="cross_attn_i2t",
-        )(k, q, queries)
+        )(keys, queries, queries, q_pe=key_pe, k_pe=query_pe)
         keys = ln("norm4")(keys)
         return queries, keys
 
@@ -116,11 +183,19 @@ class TwoWayTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, image_embedding, image_pe, point_embedding):
-        """image_embedding/image_pe: (B, H, W, C); point_embedding: (B, N, C).
-        Returns (queries (B, N, C), keys (B, HW, C))."""
+        """image_embedding: (1 or B, H, W, C); image_pe: (1 or B, H, W, C);
+        point_embedding: (B, N, C). Returns (queries (B, N, C), keys (B, HW, C)).
+
+        One-encode/many-decode optimization: with a batch-1 image embedding
+        (point/box prompts share one image), the key-side tensors stay
+        batch-1 through block 0's token->image attention — k/v projections
+        over the 4096-token image run ONCE instead of per prompt — and only
+        become per-prompt at block 0's image->token residual (the first op
+        whose value actually depends on the prompt). Algebraically identical
+        to tiling the embedding up front (reference semantics)."""
         b, h, w, c = image_embedding.shape
         keys = image_embedding.reshape(b, h * w, c)
-        key_pe = image_pe.reshape(b, h * w, c).astype(keys.dtype)
+        key_pe = image_pe.reshape(image_pe.shape[0], h * w, c).astype(keys.dtype)
         queries = point_embedding
 
         for i in range(self.depth):
@@ -134,12 +209,10 @@ class TwoWayTransformer(nn.Module):
                 name=f"layer{i}",
             )(queries, keys, point_embedding, key_pe)
 
-        q = queries + point_embedding
-        k = keys + key_pe
         queries = queries + DownsampledAttention(
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             dtype=self.dtype, name="final_attn_t2i",
-        )(q, k, keys)
+        )(queries, keys, keys, q_pe=point_embedding, k_pe=key_pe)
         queries = nn.LayerNorm(
             epsilon=1e-5, dtype=jnp.float32, name="norm_final_attn"
         )(queries)
@@ -177,10 +250,11 @@ class MaskDecoder(nn.Module):
     @nn.compact
     def __call__(
         self,
-        image_embeddings: jax.Array,  # (B, H, W, C)
-        image_pe: jax.Array,  # (H, W, C) or (B, H, W, C)
+        image_embeddings: jax.Array,  # (1 or B, H, W, C) — batch-1 is the
+        #   fast one-encode/many-decode path (see TwoWayTransformer)
+        image_pe: jax.Array,  # (H, W, C) or (1 or B, H, W, C)
         sparse_prompt_embeddings: jax.Array,  # (B, T, C)
-        dense_prompt_embeddings: jax.Array,  # (B, H, W, C)
+        dense_prompt_embeddings: jax.Array,  # (1 or B, H, W, C)
     ) -> dict[str, Any]:
         b = sparse_prompt_embeddings.shape[0]
         iou_token = self.param(
@@ -202,7 +276,7 @@ class MaskDecoder(nn.Module):
 
         src = image_embeddings + dense_prompt_embeddings
         if image_pe.ndim == 3:
-            image_pe = jnp.broadcast_to(image_pe[None], src.shape)
+            image_pe = image_pe[None]  # stays batch-1; folded downstream
 
         hs, keys = TwoWayTransformer(
             embedding_dim=self.transformer_dim,
@@ -214,8 +288,8 @@ class MaskDecoder(nn.Module):
         iou_token_out = hs[:, 0]
         mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens]
 
-        bh, hgrid, wgrid, c = src.shape
-        src_out = keys.reshape(bh, hgrid, wgrid, c)
+        _, hgrid, wgrid, c = src.shape
+        src_out = keys.reshape(keys.shape[0], hgrid, wgrid, c)
         # Upscaling stack (reference mask_decoder.py:53-59).
         y = nn.ConvTranspose(
             self.transformer_dim // 4, (2, 2), strides=(2, 2),

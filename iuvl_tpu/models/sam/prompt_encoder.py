@@ -140,8 +140,12 @@ class PromptEncoder(nn.Module):
         if masks is not None:
             dense = self._embed_masks(masks)
         else:
+            # Batch-1 broadcast map: the no-mask dense embedding is prompt-
+            # independent, and keeping it batch-1 lets the mask decoder keep
+            # the shared image embedding batch-1 through block 0 (see
+            # TwoWayTransformer) instead of tiling it per prompt.
             h, w = self.image_embedding_size
             dense = jnp.broadcast_to(
-                self.no_mask_embed.reshape(1, 1, 1, -1), (bs, h, w, self.embed_dim)
+                self.no_mask_embed.reshape(1, 1, 1, -1), (1, h, w, self.embed_dim)
             )
         return sparse.astype(self.dtype), dense.astype(self.dtype)

@@ -349,7 +349,8 @@ class SysLearner(nn.Module):
 
     def decode_interactive(
         self,
-        sam_embedding: jax.Array,  # (N, 64, 64, 256) — tiled per target
+        sam_embedding: jax.Array,  # (1 or N, 64, 64, 256) — batch-1 is the
+        #   fast path (broadcast lazily inside the mask decoder)
         mask_features: jax.Array,  # (1, H/4, W/4, C) cached
         multi_scale: Any,  # cached pixel-decoder levels (batch 1)
         points=None, labels=None, boxes=None, masks=None,
@@ -362,7 +363,7 @@ class SysLearner(nn.Module):
         dec = self.decode_prompts(
             sam_embedding, points=points, labels=labels, boxes=boxes, masks=masks
         )
-        n = sam_embedding.shape[0]
+        n = dec["hyper_in"].shape[0]  # prompt batch (emb may stay batch-1)
 
         def tile(x):
             if x.shape[0] == n:
@@ -399,7 +400,10 @@ class SysLearner(nn.Module):
         Returns (B, P, H/4, W/4) mask logits."""
         b, p = points.shape[:2]
         sam_embedding, mask_features, multi_scale = self.encode_interactive(images)
-        emb = jnp.repeat(sam_embedding, p, axis=0)
+        emb = (
+            sam_embedding if b == 1  # batch-1 broadcasts lazily in the decoder
+            else jnp.repeat(sam_embedding, p, axis=0)
+        )
         logits = self.decode_interactive(
             emb, mask_features, multi_scale,
             points=points.reshape(b * p, 1, 2),
