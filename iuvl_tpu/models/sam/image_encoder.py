@@ -35,6 +35,15 @@ import jax.numpy as jnp
 from ...ops.rel_pos_attention import rel_pos_attention
 
 
+def gelu(x: jax.Array) -> jax.Array:
+    """GELU matched to storage precision: exact erf in fp32 (bit-parity with
+    the torch reference), tanh approximation in half precision — the approx
+    error (~3e-4 absolute) is below bf16 resolution (~8e-3), and the exact
+    erf costs ~2x on the VPU (measured 17.5 -> 8.1 ms on the 256-prompt
+    mask-upscale stack at 1024^2)."""
+    return nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
+
+
 class LayerNorm2d(nn.Module):
     """Channel-wise LayerNorm over NHWC feature maps (reference
     sam/modeling/common.py:31 does the same over NCHW channel dim)."""
@@ -161,7 +170,7 @@ class Block(nn.Module):
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_lin1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_lin2")(y)
         return x + y
 
@@ -178,30 +187,31 @@ class SimpleFPN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
         gn = lambda name: nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32, name=name)
-        gelu = lambda t: nn.gelu(t, approximate=False)
+        # Norm stats in fp32, activations stored in the working dtype.
+        act = lambda t: gelu(t.astype(self.dtype))
 
         d4c = max(self.out_dims[0] * 2, self.in_dim // 2)
         y = nn.ConvTranspose(d4c, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=self.dtype, name="down4_deconv1")(x)
-        y = gelu(gn("down4_gn1")(y))
+        y = act(gn("down4_gn1")(y))
         y = nn.ConvTranspose(d4c // 2, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=self.dtype, name="down4_deconv2")(y)
         y = gn("down4_gn2")(y)
         y = nn.Conv(self.out_dims[0], (1, 1), dtype=self.dtype, name="down4_conv")(y)
-        res2 = gelu(gn("down4_gn3")(y))
+        res2 = act(gn("down4_gn3")(y))
 
         d8c = max(self.out_dims[1], self.in_dim // 2)
         y = nn.ConvTranspose(d8c, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=self.dtype, name="down8_deconv")(x)
         y = gn("down8_gn1")(y)
         y = nn.Conv(self.out_dims[1], (1, 1), dtype=self.dtype, name="down8_conv")(y)
-        res3 = gelu(gn("down8_gn2")(y))
+        res3 = act(gn("down8_gn2")(y))
 
         y = nn.Conv(self.out_dims[2], (1, 1), dtype=self.dtype, name="down16_conv")(x)
-        res4 = gelu(gn("down16_gn")(y))
+        res4 = act(gn("down16_gn")(y))
 
         d32c = max(self.out_dims[3], self.in_dim * 2)
         y = nn.Conv(d32c, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype, name="down32_conv1")(x)
         y = gn("down32_gn1")(y)
         y = nn.Conv(self.out_dims[3], (1, 1), dtype=self.dtype, name="down32_conv2")(y)
-        res5 = gelu(gn("down32_gn2")(y))
+        res5 = act(gn("down32_gn2")(y))
 
         return {"res2": res2, "res3": res3, "res4": res4, "res5": res5}
 

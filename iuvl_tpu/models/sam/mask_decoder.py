@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .image_encoder import LayerNorm2d
+from .image_encoder import LayerNorm2d, gelu
 
 
 class _Proj(nn.Module):
@@ -167,7 +167,10 @@ class TwoWayAttentionBlock(nn.Module):
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             dtype=self.dtype, name="cross_attn_i2t",
         )(keys, queries, queries, q_pe=key_pe, k_pe=query_pe)
-        keys = ln("norm4")(keys)
+        # LN stats in fp32, but STORE keys in the working dtype: keys is the
+        # per-prompt (B, HW, C) tensor that dominates decode HBM traffic, and
+        # an fp32 norm output would double every downstream read of it.
+        keys = ln("norm4")(keys).astype(self.dtype)
         return queries, keys
 
 
@@ -296,13 +299,13 @@ class MaskDecoder(nn.Module):
             transpose_kernel=True, dtype=self.dtype,
             name="upscale_deconv1",
         )(src_out)
-        y = nn.gelu(LayerNorm2d(name="upscale_ln")(y), approximate=False)
+        y = gelu(LayerNorm2d(name="upscale_ln")(y))
         y = nn.ConvTranspose(
             self.transformer_dim // 8, (2, 2), strides=(2, 2),
             transpose_kernel=True, dtype=self.dtype,
             name="upscale_deconv2",
         )(y)
-        upscaled = nn.gelu(y, approximate=False)  # (B, 4H, 4W, C/8)
+        upscaled = gelu(y)  # (B, 4H, 4W, C/8)
 
         hyper_in = jnp.stack(
             [

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .image_encoder import LayerNorm2d
+from .image_encoder import LayerNorm2d, gelu
 
 
 class PositionEmbeddingRandom(nn.Module):
@@ -111,9 +111,9 @@ class PromptEncoder(nn.Module):
     def _embed_masks(self, masks: jax.Array) -> jax.Array:
         """masks (B, 4H, 4W, 1) -> dense (B, H, W, C)."""
         y = self.mask_conv1(masks)
-        y = nn.gelu(self.mask_ln1(y), approximate=False)
+        y = gelu(self.mask_ln1(y))
         y = self.mask_conv2(y)
-        y = nn.gelu(self.mask_ln2(y), approximate=False)
+        y = gelu(self.mask_ln2(y))
         return self.mask_conv3(y)
 
     def __call__(self, points=None, labels=None, boxes=None, masks=None, batch=1):

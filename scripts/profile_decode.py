@@ -72,17 +72,16 @@ def main():
     emb, _ = jax.jit(lambda p, i: model.apply(p, i, method=Sam.encode_image))(
         params, normalized
     )
-    emb_tiled = jnp.broadcast_to(emb, (chunk, *emb.shape[1:]))
 
-    def dec_step(carry, params, pts, labs):
+    def dec_step(carry, params, emb, pts, labs):
         masks = model.apply(
-            params, emb_tiled + carry * 1e-12, points=pts, labels=labs,
+            params, emb + carry * 1e-12, points=pts, labels=labs,
             method=Sam.decode_from_embedding,
         )["masks"]
         return carry + masks.mean().astype(jnp.float32)
 
     t_dec = timed_diff(
-        chain(dec_step, 1), chain(dec_step, 17), (params, pts, labs), 16.0
+        chain(dec_step, 1), chain(dec_step, 17), (params, emb, pts, labs), 16.0
     )
     print(f"decode chunk({chunk}): {t_dec*1e3:.2f} ms "
           f"-> masks/s incl encode = {1024/(t_enc + 4*t_dec):.0f}")
