@@ -16,13 +16,49 @@ All prompt batching is dense: callers tile the image embedding per prompt set
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .image_encoder import LayerNorm2d, gelu
+
+
+@functools.lru_cache(maxsize=None)
+def _bd_constants(h: int, d: int, per: int):
+    """Static constants for block-diagonal head packing (see
+    DownsampledAttention). P (h, d, h*d) places head h's d-dim chunk at
+    column offset h*d; G (h*per, h*per) is the same-head group indicator
+    (grouped-softmax denominators via one matmul); headmask (h, h*d) marks
+    which output columns belong to which head."""
+    hd = h * d
+    P = np.zeros((h, d, hd), np.float32)
+    for hh in range(h):
+        P[hh, np.arange(d), hh * d + np.arange(d)] = 1.0
+    G = np.kron(np.eye(h, dtype=np.float32), np.ones((per, per), np.float32))
+    headmask = np.repeat(np.eye(h, dtype=np.float32), d, axis=1)
+    return P, G, headmask
+
+
+def _pack_bd(x: jax.Array, h: int, d: int, per: int) -> jax.Array:
+    """(B, T, h*d) -> (B, h*per, h*d) block-diagonal: row h*per + t holds
+    head h's d-dim chunk of token t at columns [h*d, (h+1)*d), zeros
+    elsewhere. Keeps every HBM tensor's minor dim at h*d (XLA pads minor
+    dims to the 128-lane tile, so a head-split (..., d=16) layout would
+    occupy 8x its logical size — the packed form never materializes one).
+    Only ever applied to the short token axis (T <= ~64), so the small
+    (B, h, per, d) intermediate is negligible."""
+    b, t, hd = x.shape
+    P, _, _ = _bd_constants(h, d, per)
+    xh = x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+    if per != t:
+        xh = jnp.pad(xh, ((0, 0), (0, 0), (0, per - t), (0, 0)))
+    return jnp.einsum(
+        "bhtd,hde->bhte", xh, jnp.asarray(P, x.dtype)
+    ).reshape(b, h * per, hd)
 
 
 class _Proj(nn.Module):
@@ -61,6 +97,9 @@ class DownsampledAttention(nn.Module):
     num_heads: int
     downsample_rate: int = 1
     dtype: jnp.dtype = jnp.float32
+    # "auto" = block-diagonal head packing in bf16 (serving); "on"/"off"
+    # force it (tests compare packed vs reference path in fp32).
+    packing: str = "auto"
 
     @nn.compact
     def __call__(
@@ -97,31 +136,88 @@ class DownsampledAttention(nn.Module):
             kp = kp + cast(k_pe) @ cast(wk)
 
         nq, nk = qp.shape[1], kp.shape[1]
-        qh = qp.reshape(qp.shape[0], nq, h, head_dim)
-        kh = kp.reshape(kp.shape[0], nk, h, head_dim)
-        vh = vp.reshape(vp.shape[0], nk, h, head_dim)
+        scale = head_dim ** -0.5
 
-        # Batch-1 operands broadcast against per-prompt ones (the shared
-        # image embedding stays batch-1 until token->image attention first
-        # writes into it — see TwoWayTransformer docstring).
-        if kh.shape[0] == 1 and qh.shape[0] != 1:
-            attn = jnp.einsum(
-                "bqhd,khd->bhqk", qh, kh[0], preferred_element_type=jnp.float32
-            )
-        elif qh.shape[0] == 1 and kh.shape[0] != 1:
-            attn = jnp.einsum(
-                "qhd,bkhd->bhqk", qh[0], kh, preferred_element_type=jnp.float32
-            )
+        # bmm with batch-1 broadcast on either operand (the shared image
+        # embedding stays batch-1 until token->image attention first writes
+        # into it — see TwoWayTransformer docstring).
+        def bmm(spec, a, b_, **kw):
+            lhs, rhs = spec.split("->")
+            sa, sb = lhs.split(",")
+            if a.shape[0] == 1 and b_.shape[0] != 1:
+                return jnp.einsum(f"{sa[1:]},{sb}->{rhs}", a[0], b_, **kw)
+            if b_.shape[0] == 1 and a.shape[0] != 1:
+                return jnp.einsum(f"{sa},{sb[1:]}->{rhs}", a, b_[0], **kw)
+            return jnp.einsum(spec, a, b_, **kw)
+
+        use_pack = head_dim < 128 and (
+            self.packing == "on"
+            or (self.packing == "auto" and dt == jnp.bfloat16)
+        )
+
+        if use_pack and nk <= 64 and nq > nk:
+            # image->token: block-diagonal K/V over the short token axis.
+            # scores = Qp @ Kbd^T give per-(head, token) columns; softmax is
+            # EXACT (the per-row max shift is constant across head groups);
+            # group denominators come from one matmul with the indicator G;
+            # P @ Vbd merges heads for free (Vbd's off-head columns are 0).
+            per = -(-nk // 8) * 8
+            _, G, _ = _bd_constants(h, head_dim, per)
+            kbd = _pack_bd(kp, h, head_dim, per)
+            vbd = _pack_bd(vp, h, head_dim, per)
+            slot_ok = jnp.tile(jnp.arange(per) < nk, (h,))
+            smask = jnp.where(slot_ok, 0.0, -1e30).astype(jnp.float32)
+            s = bmm("bqc,bkc->bqk", qp, kbd,
+                    preferred_element_type=jnp.float32) * scale + smask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.einsum("bqk,kj->bqj", e, jnp.asarray(G))
+            p = (e / denom).astype(dt)
+            out = bmm("bqk,bkc->bqc", p, vbd)
+        elif use_pack and nq <= 64 and nk > nq:
+            # token->image: block-diagonal Q; rows are (head, token) pairs
+            # with standard softmax over the image axis; outputs carry the
+            # true value in the owning head's columns (cross-head columns
+            # are discarded by the static head-merge mask).
+            per = -(-nq // 8) * 8
+            _, _, headmask = _bd_constants(h, head_dim, per)
+            qbd = _pack_bd(qp, h, head_dim, per)
+            s = bmm("bqc,bkc->bqk", qbd, kp,
+                    preferred_element_type=jnp.float32)
+            # hand-staged softmax: the fused (max+exp) kernel XLA builds for
+            # the (b, h*per, nk) tensor blows the 16M scoped-VMEM stack, so
+            # barrier the row-max to split it into two small fusions.
+            s = s * scale
+            m = jax.lax.optimization_barrier(jnp.max(s, axis=-1, keepdims=True))
+            e = jnp.exp(s - m)
+            p = (e / e.sum(axis=-1, keepdims=True)).astype(dt)
+            obd = bmm("bqk,bkc->bqc", p, vp)
+            b_out = obd.shape[0]
+            obd = obd.reshape(b_out, h, per, internal)
+            out = (obd * jnp.asarray(headmask, dt)[:, None, :]).sum(axis=1)
+            out = out[:, :nq]
         else:
-            attn = jnp.einsum(
-                "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
-            )
-        attn = jax.nn.softmax(attn / (head_dim ** 0.5), axis=-1).astype(vh.dtype)
-        if vh.shape[0] == 1 and attn.shape[0] != 1:
-            out = jnp.einsum("bhqk,khd->bqhd", attn, vh[0])
-        else:
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
-        out = out.reshape(attn.shape[0], nq, internal)
+            qh = qp.reshape(qp.shape[0], nq, h, head_dim)
+            kh = kp.reshape(kp.shape[0], nk, h, head_dim)
+            vh = vp.reshape(vp.shape[0], nk, h, head_dim)
+            if kh.shape[0] == 1 and qh.shape[0] != 1:
+                attn = jnp.einsum(
+                    "bqhd,khd->bhqk", qh, kh[0], preferred_element_type=jnp.float32
+                )
+            elif qh.shape[0] == 1 and kh.shape[0] != 1:
+                attn = jnp.einsum(
+                    "qhd,bkhd->bhqk", qh[0], kh, preferred_element_type=jnp.float32
+                )
+            else:
+                attn = jnp.einsum(
+                    "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+                )
+            attn = jax.nn.softmax(attn / (head_dim ** 0.5), axis=-1).astype(vh.dtype)
+            if vh.shape[0] == 1 and attn.shape[0] != 1:
+                out = jnp.einsum("bhqk,khd->bqhd", attn, vh[0])
+            else:
+                out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+            out = out.reshape(attn.shape[0], nq, internal)
         wo, bo = _Proj(internal, self.embedding_dim, name="out_proj")()
         return out @ cast(wo) + cast(bo)
 

@@ -69,3 +69,35 @@ def test_jit_encode(sam_and_params):
     fn = jax.jit(lambda p, x: model.apply(p, x, method=Sam.encode_image))
     emb, fpn = fn(params, jnp.ones((1, 128, 128, 3), jnp.float32))
     assert emb.shape[0] == 1
+
+
+def test_blockdiag_packing_matches_reference_path():
+    """DownsampledAttention's block-diagonal head packing (the bf16 serving
+    fast path) must match the head-split einsum path; forced on in fp32
+    here so the comparison isolates the formulation, not the dtype."""
+    from iuvl_tpu.models.sam.mask_decoder import DownsampledAttention
+
+    rng = jax.random.PRNGKey(0)
+    cases = [
+        # (nq, nk, batch_q, batch_kv): t2i / i2t, with batch-1 broadcasts
+        (7, 4096 // 16, 5, 5),
+        (7, 4096 // 16, 5, 1),     # block0 t2i: keys batch-1
+        (4096 // 16, 7, 5, 5),
+        (4096 // 16, 7, 1, 5),     # block0 i2t: keys batch-1
+        (12, 4096 // 16, 5, 5),    # more tokens (interactive clicks)
+    ]
+    for nq, nk, bq, bkv in cases:
+        kq, kk, kpe = jax.random.split(jax.random.fold_in(rng, nq * nk), 3)
+        q = jax.random.normal(kq, (bq, nq, 256), jnp.float32)
+        kv = jax.random.normal(kk, (bkv, nk, 256), jnp.float32)
+        q_pe = jax.random.normal(kpe, (bq, nq, 256), jnp.float32)
+        k_pe = jax.random.normal(jax.random.fold_in(kpe, 1), (bkv, nk, 256))
+
+        ref = DownsampledAttention(256, 8, 2, packing="off")
+        fast = DownsampledAttention(256, 8, 2, packing="on")
+        params = ref.init(jax.random.PRNGKey(1), q, kv, kv)
+        a = ref.apply(params, q, kv, kv, q_pe=q_pe, k_pe=k_pe)
+        b = fast.apply(params, q, kv, kv, q_pe=q_pe, k_pe=k_pe)
+        assert a.shape == b.shape
+        err = jnp.abs(a - b).max()
+        assert err < 1e-4, (nq, nk, bq, bkv, float(err))
