@@ -36,6 +36,7 @@ class SamConfig:
     window_size: int = 14
     dtype: str = "float32"
     attn_impl: str = "xla"
+    twoway_impl: str = "auto"  # fused Pallas mask-decoder block kernels
     remat: bool = False
 
     @property
@@ -88,7 +89,10 @@ class Sam(nn.Module):
             input_image_size=(c.img_size, c.img_size),
             dtype=dtype,
         )
-        self.mask_decoder = MaskDecoder(transformer_dim=c.prompt_embed_dim, dtype=dtype)
+        self.mask_decoder = MaskDecoder(
+            transformer_dim=c.prompt_embed_dim, dtype=dtype,
+            twoway_impl=c.twoway_impl,
+        )
 
     def normalize(self, images: jax.Array) -> jax.Array:
         """Raw RGB uint8/float (B, H, W, 3) -> normalized float."""

@@ -104,19 +104,27 @@ class DownsampledAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        q: jax.Array,
-        k: jax.Array,
-        v: jax.Array,
+        q: jax.Array | None,
+        k: jax.Array | None = None,
+        v: jax.Array | None = None,
         q_pe: jax.Array | None = None,
         k_pe: jax.Array | None = None,
-    ) -> jax.Array:
+        weights_only: bool = False,
+    ):
         internal = self.embedding_dim // self.downsample_rate
         head_dim = internal // self.num_heads
         h = self.num_heads
-        in_dim = q.shape[-1]
+        in_dim = self.embedding_dim if q is None else q.shape[-1]
         wq, bq = _Proj(in_dim, internal, name="q_proj")()
         wk, bk = _Proj(in_dim, internal, name="k_proj")()
         wv, bv = _Proj(in_dim, internal, name="v_proj")()
+        if weights_only:
+            # The fused Pallas block steps (ops/pallas/twoway_attention.py)
+            # consume the raw projections; creating them here keeps the
+            # param tree identical between fused and unfused paths.
+            wo, bo = _Proj(internal, self.embedding_dim, name="out_proj")()
+            return dict(wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
+                        wo=wo, bo=bo, head_dim=head_dim, internal=internal)
         dt = self.dtype
         cast = lambda t: t.astype(dt)
 
@@ -222,6 +230,71 @@ class DownsampledAttention(nn.Module):
         return out @ cast(wo) + cast(bo)
 
 
+class _LNParams(nn.Module):
+    """Raw LayerNorm parameters — same tree paths ("scale"/"bias"), shapes
+    and inits as nn.LayerNorm, returned unapplied for the fused kernels."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+def _fused_t2i(queries, query_pe, keys, key_pe, w, h):
+    """Token->image cross attention through the streamed Pallas kernel:
+    q-side packing + out-proj in XLA (tiny tensors), one fused pass over
+    the keys tensor for k/v projection + online softmax."""
+    from ...ops.pallas.twoway_attention import t2i_stream
+
+    dt = keys.dtype
+    d = w["head_dim"]
+    qp = (queries.astype(dt) @ w["wq"].astype(dt)
+          + query_pe.astype(dt) @ w["wq"].astype(dt) + w["bq"].astype(dt))
+    nq = qp.shape[1]
+    per = -(-nq // 8) * 8
+    _, _, headmask = _bd_constants(h, d, per)
+    qbd = _pack_bd(qp * (d ** -0.5), h, d, per)
+    pe_wk = (key_pe[:1].astype(dt) @ w["wk"].astype(dt))
+    obd = t2i_stream(qbd, keys, pe_wk, w["wk"].astype(dt), w["bk"].astype(dt),
+                     w["wv"].astype(dt), w["bv"].astype(dt))
+    b_out = obd.shape[0]
+    obd = obd.reshape(b_out, h, per, w["internal"])
+    out = (obd * jnp.asarray(headmask, dt)[:, None, :]).sum(axis=1)[:, :nq]
+    return out @ w["wo"].astype(dt) + w["bo"].astype(dt)
+
+
+def _fused_i2t(keys, key_pe, queries, query_pe, w, h, ln_w, ln_b):
+    """Image->token block step through the fused Pallas kernel: token-side
+    k/v packing in XLA, one pass over keys doing q-proj + grouped attention
+    + out-proj + residual + the block's LayerNorm."""
+    from ...ops.pallas.twoway_attention import i2t_block_step
+
+    dt = keys.dtype
+    d = w["head_dim"]
+    kvp = queries.astype(dt) @ jnp.concatenate(
+        [w["wk"], w["wv"]], axis=1).astype(dt)
+    internal = w["internal"]
+    kp = kvp[..., :internal] + w["bk"].astype(dt)
+    kp = kp + query_pe.astype(dt) @ w["wk"].astype(dt)
+    vp = kvp[..., internal:] + w["bv"].astype(dt)
+    nk = kp.shape[1]
+    per = -(-nk // 8) * 8
+    _, G, _ = _bd_constants(h, d, per)
+    kbd = _pack_bd(kp, h, d, per)
+    vbd = _pack_bd(vp, h, d, per)
+    slot_ok = np.tile(np.arange(per) < nk, h)
+    smask = np.where(slot_ok, 0.0, -1e30).astype(np.float32)
+    pe_wq = key_pe[:1].astype(dt) @ w["wq"].astype(dt)
+    return i2t_block_step(
+        keys, pe_wq, kbd, vbd, w["wq"].astype(dt), w["bq"].astype(dt),
+        w["wo"].astype(dt), w["bo"].astype(dt), ln_w, ln_b,
+        jnp.asarray(G), jnp.asarray(smask), d ** -0.5,
+    )
+
+
 class TwoWayAttentionBlock(nn.Module):
     """Reference sam/modeling/transformer.py:109-182."""
 
@@ -231,6 +304,7 @@ class TwoWayAttentionBlock(nn.Module):
     attention_downsample_rate: int = 2
     skip_first_layer_pe: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False  # Pallas block kernels (bf16 TPU serving path)
 
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
@@ -238,6 +312,7 @@ class TwoWayAttentionBlock(nn.Module):
         passed into the attention modules unfused (folded through the
         projections there), so a batch-1 key_pe is never tiled per prompt."""
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+        h = self.num_heads
         if self.skip_first_layer_pe:
             queries = DownsampledAttention(
                 self.embedding_dim, self.num_heads, dtype=self.dtype, name="self_attn"
@@ -248,10 +323,15 @@ class TwoWayAttentionBlock(nn.Module):
             )(queries, queries, queries, q_pe=query_pe, k_pe=query_pe)
         queries = ln("norm1")(queries)
 
-        queries = queries + DownsampledAttention(
+        t2i = DownsampledAttention(
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             dtype=self.dtype, name="cross_attn_t2i",
-        )(queries, keys, keys, q_pe=query_pe, k_pe=key_pe)
+        )
+        if self.fused:
+            w = t2i(None, weights_only=True)
+            queries = queries + _fused_t2i(queries, query_pe, keys, key_pe, w, h)
+        else:
+            queries = queries + t2i(queries, keys, keys, q_pe=query_pe, k_pe=key_pe)
         queries = ln("norm2")(queries)
 
         y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_lin1")(queries)
@@ -259,14 +339,21 @@ class TwoWayAttentionBlock(nn.Module):
         y = nn.Dense(self.embedding_dim, dtype=self.dtype, name="mlp_lin2")(y)
         queries = ln("norm3")(queries + y)
 
-        keys = keys + DownsampledAttention(
+        i2t = DownsampledAttention(
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             dtype=self.dtype, name="cross_attn_i2t",
-        )(keys, queries, queries, q_pe=key_pe, k_pe=query_pe)
-        # LN stats in fp32, but STORE keys in the working dtype: keys is the
-        # per-prompt (B, HW, C) tensor that dominates decode HBM traffic, and
-        # an fp32 norm output would double every downstream read of it.
-        keys = ln("norm4")(keys).astype(self.dtype)
+        )
+        if self.fused:
+            w = i2t(None, weights_only=True)
+            ln_w, ln_b = _LNParams(self.embedding_dim, name="norm4")()
+            keys = _fused_i2t(keys, key_pe, queries, query_pe, w, h, ln_w, ln_b)
+        else:
+            keys = keys + i2t(keys, queries, queries, q_pe=key_pe, k_pe=query_pe)
+            # LN stats in fp32, but STORE keys in the working dtype: keys is
+            # the per-prompt (B, HW, C) tensor that dominates decode HBM
+            # traffic, and an fp32 norm output would double every downstream
+            # read of it.
+            keys = ln("norm4")(keys).astype(self.dtype)
         return queries, keys
 
 
@@ -279,6 +366,16 @@ class TwoWayTransformer(nn.Module):
     mlp_dim: int = 2048
     attention_downsample_rate: int = 2
     dtype: jnp.dtype = jnp.float32
+    # "auto": fused Pallas block kernels iff bf16 on a TPU backend;
+    # "pallas"/"off" force. See ops/pallas/twoway_attention.py.
+    impl: str = "auto"
+
+    def _use_fused(self) -> bool:
+        if self.impl == "pallas":
+            return True
+        if self.impl == "auto":
+            return self.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+        return False
 
     @nn.compact
     def __call__(self, image_embedding, image_pe, point_embedding):
@@ -296,6 +393,7 @@ class TwoWayTransformer(nn.Module):
         keys = image_embedding.reshape(b, h * w, c)
         key_pe = image_pe.reshape(image_pe.shape[0], h * w, c).astype(keys.dtype)
         queries = point_embedding
+        fused = self._use_fused()
 
         for i in range(self.depth):
             queries, keys = TwoWayAttentionBlock(
@@ -305,13 +403,23 @@ class TwoWayTransformer(nn.Module):
                 attention_downsample_rate=self.attention_downsample_rate,
                 skip_first_layer_pe=(i == 0),
                 dtype=self.dtype,
+                fused=fused,
                 name=f"layer{i}",
             )(queries, keys, point_embedding, key_pe)
 
-        queries = queries + DownsampledAttention(
+        final = DownsampledAttention(
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             dtype=self.dtype, name="final_attn_t2i",
-        )(queries, keys, keys, q_pe=point_embedding, k_pe=key_pe)
+        )
+        if fused:
+            wgt = final(None, weights_only=True)
+            queries = queries + _fused_t2i(
+                queries, point_embedding, keys, key_pe, wgt, self.num_heads
+            )
+        else:
+            queries = queries + final(
+                queries, keys, keys, q_pe=point_embedding, k_pe=key_pe
+            )
         queries = nn.LayerNorm(
             epsilon=1e-5, dtype=jnp.float32, name="norm_final_attn"
         )(queries)
@@ -341,6 +449,7 @@ class MaskDecoder(nn.Module):
     transformer_mlp_dim: int = 2048
     transformer_num_heads: int = 8
     dtype: jnp.dtype = jnp.float32
+    twoway_impl: str = "auto"  # see TwoWayTransformer.impl
 
     @property
     def num_mask_tokens(self) -> int:
@@ -382,6 +491,7 @@ class MaskDecoder(nn.Module):
             mlp_dim=self.transformer_mlp_dim,
             num_heads=self.transformer_num_heads,
             dtype=self.dtype,
+            impl=self.twoway_impl,
             name="transformer",
         )(src.astype(self.dtype), image_pe, tokens)
         iou_token_out = hs[:, 0]

@@ -109,3 +109,97 @@ def test_flash_kernel_grad_matches_xla():
     g_x = jax.grad(xla_loss, argnums=(0, 1, 2))(q_aug, k_aug, v)
     for a, b in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_twoway_fused_kernels_match_unfused():
+    """Fused Pallas two-way block kernels (interpret mode) vs the unfused
+    module path, sharing ONE param tree (validates _LNParams/_Proj tree
+    compatibility with nn.LayerNorm/nn.Dense too)."""
+    import jax
+    import jax.numpy as jnp
+    from iuvl_tpu.models.sam.mask_decoder import TwoWayTransformer
+    from iuvl_tpu.ops.pallas import twoway_attention as ta
+    import jax.experimental.pallas as pl
+
+    rng = jax.random.PRNGKey(0)
+    b, grid, c, t = 3, 8, 256, 7
+    emb = jax.random.normal(rng, (b, grid, grid, c), jnp.float32) * 0.5
+    pe = jax.random.normal(jax.random.fold_in(rng, 1), (1, grid, grid, c)) * 0.5
+    toks = jax.random.normal(jax.random.fold_in(rng, 2), (b, t, c)) * 0.5
+
+    slow = TwoWayTransformer(impl="off")
+    fast = TwoWayTransformer(impl="pallas")
+    params = slow.init(jax.random.PRNGKey(1), emb, pe, toks)
+
+    ref_q, ref_k = slow.apply(params, emb, pe, toks)
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    ta.pl.pallas_call = interp
+    try:
+        out_q, out_k = fast.apply(params, emb, pe, toks)
+    finally:
+        ta.pl.pallas_call = orig
+
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref_k), atol=2e-4)
+
+    # batch-1 image embedding fast path through the fused kernels
+    ref_q1, ref_k1 = slow.apply(params, emb[:1], pe, toks)
+    ta.pl.pallas_call = interp
+    try:
+        out_q1, out_k1 = fast.apply(params, emb[:1], pe, toks)
+    finally:
+        ta.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out_q1), np.asarray(ref_q1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_k1), np.asarray(ref_k1), atol=2e-4)
+
+
+def test_twoway_fused_grad_matches_unfused():
+    """custom VJP (XLA recompute) of the fused kernels vs unfused grads."""
+    import jax
+    import jax.numpy as jnp
+    from iuvl_tpu.models.sam.mask_decoder import TwoWayTransformer
+    from iuvl_tpu.ops.pallas import twoway_attention as ta
+    import jax.experimental.pallas as pl
+
+    rng = jax.random.PRNGKey(3)
+    b, grid, c, t = 2, 8, 256, 7
+    emb = jax.random.normal(rng, (b, grid, grid, c), jnp.float32) * 0.5
+    pe = jax.random.normal(jax.random.fold_in(rng, 1), (1, grid, grid, c)) * 0.5
+    toks = jax.random.normal(jax.random.fold_in(rng, 2), (b, t, c)) * 0.5
+
+    slow = TwoWayTransformer(impl="off")
+    fast = TwoWayTransformer(impl="pallas")
+    params = slow.init(jax.random.PRNGKey(1), emb, pe, toks)
+
+    def loss(mod):
+        def f(p, e):
+            q, k = mod.apply(p, e, pe, toks)
+            return (q.astype(jnp.float32) ** 2).sum() + (
+                k.astype(jnp.float32) ** 2).sum()
+        return f
+
+    g_ref = jax.grad(loss(slow), argnums=(0, 1))(params, emb)
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    ta.pl.pallas_call = interp
+    try:
+        g_fast = jax.grad(loss(fast), argnums=(0, 1))(params, emb)
+    finally:
+        ta.pl.pallas_call = orig
+
+    flat_r, _ = jax.tree.flatten(g_ref)
+    flat_f, _ = jax.tree.flatten(g_fast)
+    for a, b_ in zip(flat_r, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-3, rtol=1e-3)
