@@ -441,6 +441,36 @@ class HyperMLP(nn.Module):
         return nn.Dense(self.output_dim, dtype=self.dtype, name=f"lin{self.num_layers - 1}")(x)
 
 
+class _ConvTParams(nn.Module):
+    """Raw ConvTranspose parameters — same tree paths ("kernel"/"bias"),
+    shapes ((2, 2, out, in) with transpose_kernel=True) and inits as
+    nn.ConvTranspose, returned unapplied for the fused upscale kernel."""
+
+    out_features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (2, 2, self.out_features, self.in_features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        return kernel, bias
+
+
+class _LN2dParams(nn.Module):
+    """Raw LayerNorm2d parameters (tree-compatible with LayerNorm2d)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return weight, bias
+
+
 class MaskDecoder(nn.Module):
     transformer_dim: int = 256
     num_multimask_outputs: int = 3
@@ -498,21 +528,6 @@ class MaskDecoder(nn.Module):
         mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens]
 
         _, hgrid, wgrid, c = src.shape
-        src_out = keys.reshape(keys.shape[0], hgrid, wgrid, c)
-        # Upscaling stack (reference mask_decoder.py:53-59).
-        y = nn.ConvTranspose(
-            self.transformer_dim // 4, (2, 2), strides=(2, 2),
-            transpose_kernel=True, dtype=self.dtype,
-            name="upscale_deconv1",
-        )(src_out)
-        y = gelu(LayerNorm2d(name="upscale_ln")(y))
-        y = nn.ConvTranspose(
-            self.transformer_dim // 8, (2, 2), strides=(2, 2),
-            transpose_kernel=True, dtype=self.dtype,
-            name="upscale_deconv2",
-        )(y)
-        upscaled = gelu(y)  # (B, 4H, 4W, C/8)
-
         hyper_in = jnp.stack(
             [
                 HyperMLP(
@@ -524,10 +539,62 @@ class MaskDecoder(nn.Module):
             axis=1,
         )  # (B, M, C/8)
 
-        bu, hu, wu, cu = upscaled.shape
-        masks = jnp.einsum(
-            "bmc,bhwc->bmhw", hyper_in, upscaled, preferred_element_type=jnp.float32
+        fused = self.twoway_impl == "pallas" or (
+            self.twoway_impl == "auto"
+            and self.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
         )
+        if fused:
+            # One fused pass over keys: deconvs + LN2d + gelu + hypernetwork
+            # contraction (ops/pallas/mask_upscale.py). The spatial upscaled
+            # embedding is reconstructed from the same raw params below and
+            # DCEd by XLA when the caller only consumes masks.
+            from ...ops.pallas.mask_upscale import (
+                _blockdiag_w2, _flat_w1, masks_upscale, unflatten_masks)
+
+            c4, c8 = self.transformer_dim // 4, self.transformer_dim // 8
+            k1, b1 = _ConvTParams(c4, c, name="upscale_deconv1")()
+            lnw, lnb = _LN2dParams(c4, name="upscale_ln")()
+            k2, b2 = _ConvTParams(c8, c4, name="upscale_deconv2")()
+            flat = masks_upscale(keys, k1.astype(self.dtype), b1, lnw, lnb,
+                                 k2.astype(self.dtype), b2, hyper_in)
+            masks = unflatten_masks(flat, hgrid, wgrid, self.num_mask_tokens)
+            # upscaled embedding, flat-matmul XLA path on the shared params
+            dt = self.dtype
+            y1 = keys @ _flat_w1(k1).astype(dt) + jnp.tile(b1, 4).astype(dt)
+            y1 = y1.reshape(-1, hgrid * wgrid * 4, c4)
+            xf = y1.astype(jnp.float32)
+            mu = xf.mean(-1, keepdims=True)
+            var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+            y1 = (((xf - mu) * jax.lax.rsqrt(var + 1e-6)) * lnw + lnb).astype(dt)
+            y1 = gelu(y1).reshape(-1, hgrid * wgrid, 4 * c4)
+            y2 = y1 @ _blockdiag_w2(k2).astype(dt) + jnp.tile(b2, 16).astype(dt)
+            y2 = gelu(y2)
+            # cols (di, dj, ei, ej, c) -> (B, 4H, 4W, C/8)
+            up = y2.reshape(-1, hgrid, wgrid, 2, 2, 2, 2, c8)
+            upscaled = up.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                -1, 4 * hgrid, 4 * wgrid, c8
+            )
+        else:
+            src_out = keys.reshape(keys.shape[0], hgrid, wgrid, c)
+            # Upscaling stack (reference mask_decoder.py:53-59).
+            y = nn.ConvTranspose(
+                self.transformer_dim // 4, (2, 2), strides=(2, 2),
+                transpose_kernel=True, dtype=self.dtype,
+                name="upscale_deconv1",
+            )(src_out)
+            y = gelu(LayerNorm2d(name="upscale_ln")(y))
+            y = nn.ConvTranspose(
+                self.transformer_dim // 8, (2, 2), strides=(2, 2),
+                transpose_kernel=True, dtype=self.dtype,
+                name="upscale_deconv2",
+            )(y)
+            upscaled = gelu(y)  # (B, 4H, 4W, C/8)
+
+            masks = jnp.einsum(
+                "bmc,bhwc->bmhw", hyper_in, upscaled,
+                preferred_element_type=jnp.float32,
+            )
         iou_pred = HyperMLP(
             self.iou_head_hidden_dim, self.num_mask_tokens,
             num_layers=self.iou_head_depth, dtype=self.dtype, name="iou_head",

@@ -203,3 +203,47 @@ def test_twoway_fused_grad_matches_unfused():
     for a, b_ in zip(flat_r, flat_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-3, rtol=1e-3)
+
+
+def test_mask_decoder_fused_upscale_matches_unfused():
+    """Fused Pallas upscale+hyper kernel (interpret mode) + flat-matmul
+    upscaled-embedding reconstruction vs the unfused ConvTranspose path,
+    sharing one param tree."""
+    import jax
+    import jax.numpy as jnp
+    from iuvl_tpu.models.sam.mask_decoder import MaskDecoder
+    from iuvl_tpu.ops.pallas import mask_upscale as mu
+    import jax.experimental.pallas as pl
+
+    rng = jax.random.PRNGKey(7)
+    b, grid, c = 2, 8, 256
+    emb = jax.random.normal(rng, (b, grid, grid, c), jnp.float32) * 0.5
+    pe = jax.random.normal(jax.random.fold_in(rng, 1), (grid, grid, c)) * 0.5
+    sparse = jax.random.normal(jax.random.fold_in(rng, 2), (b, 2, c)) * 0.5
+    dense = jax.random.normal(jax.random.fold_in(rng, 3), (b, grid, grid, c)) * 0.1
+
+    slow = MaskDecoder(twoway_impl="off")
+    fast = MaskDecoder(twoway_impl="pallas")
+    params = slow.init(jax.random.PRNGKey(1), emb, pe, sparse, dense)
+    ref = slow.apply(params, emb, pe, sparse, dense)
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    from iuvl_tpu.ops.pallas import twoway_attention as ta
+    mu.pl.pallas_call = interp
+    ta.pl.pallas_call = interp
+    try:
+        out = fast.apply(params, emb, pe, sparse, dense)
+    finally:
+        mu.pl.pallas_call = orig
+        ta.pl.pallas_call = orig
+
+    for key_ in ("masks", "iou_pred", "upscaled_embedding", "hyper_in"):
+        np.testing.assert_allclose(
+            np.asarray(out[key_]), np.asarray(ref[key_]),
+            atol=3e-4, rtol=1e-4, err_msg=key_,
+        )
