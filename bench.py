@@ -134,7 +134,7 @@ def bench_extra():
 
     cfg = SysLearnerConfig(
         sam_size="base", img_size=1024, dtype="bfloat16", attn_impl="auto",
-        msdeform_impl="wide",
+        msdeform_impl="auto",
     )
     model = SysLearner(cfg=cfg)
     images0 = jnp.zeros((1, 1024, 1024, 3), jnp.float32)

@@ -56,7 +56,7 @@ class SysLearnerConfig:
     dtype: str = "float32"
     attn_impl: str = "xla"  # SAM windowed attention implementation
     remat: bool = False
-    msdeform_impl: str = "wide"
+    msdeform_impl: str = "auto"
     pixel_decoder: str = "msdeform"  # or "fpn" (reference
     # transformer_encoder_fpn registration, unused by shipped configs)
     detection: bool = False  # bbox head (reference task_switch['bbox'])

@@ -17,6 +17,7 @@ fallback-as-oracle test strategy (ops/test.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -50,12 +51,30 @@ def ms_deform_attn_core(
     - 'xla_patch': (2, 2, d) window lax.gather — measured SLOWER (kept as
                    a documented dead end).
 
-    Pallas note: a fused in-VMEM kernel was evaluated and rejected with
-    measurements — vector gathers don't lower inside Pallas TPU kernels,
-    the one-hot-matmul alternative is FLOP-prohibitive at res3, and
-    per-point DMAs are latency-bound (round-1 notes). 'wide' attacks the
-    real bottleneck (gather row issue rate) directly in XLA.
+    Pallas note: vector gathers don't lower inside Pallas TPU kernels and
+    per-point DMAs are latency-bound (round-1 notes). The round-2 one-hot
+    matmul kernel ('hybrid', ops/pallas/onehot_gather.py) replaces the res5
+    gather with VPU compares + MXU matmuls and wins in isolation (6.94 ->
+    4.60 ms) but regresses composed into the 3-level layer (22 -> 27
+    ms/layer) — kept selectable, oracle-tested, not default. 'wide' attacks
+    the real bottleneck (gather row issue rate) directly in XLA.
     """
+    if impl == "auto":
+        # 'hybrid' (Pallas one-hot matmul for small levels) wins in
+        # isolation (res5 6.94 -> 4.60 ms) but LOSES composed into the full
+        # 3-level layer (22.0 -> 27.0 ms/layer, evaluate_seg 167 -> 212 ms
+        # — measured v5e; pallas_call scheduling interaction with the
+        # neighboring gathers). Auto therefore stays on 'wide'; 'hybrid'
+        # remains selectable for future re-measurement.
+        impl = "wide"
+    if impl == "hybrid":
+        # wide gather for large levels + Pallas one-hot matmul for levels
+        # whose table fits VMEM (ops/pallas/onehot_gather.py): replaces the
+        # issue-rate-bound HBM gather with VPU compares + MXU matmuls.
+        return _ms_deform_attn_xla(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            wide=True, onehot_max_cells=1536,
+        )
     if impl in ("wide", "pallas"):  # 'pallas' config value maps to fast path
         return _ms_deform_attn_xla(
             value, spatial_shapes, sampling_locations, attention_weights,
@@ -235,9 +254,96 @@ def _bilinear_gather_wide(v_flat, h, w, x, y):
     return (g * wslot[..., None]).sum(axis=4)
 
 
+def _wide_idx_wslot(v_dtype, h, w, x, y):
+    """Shared index/slot-weight math of the wide formulation: returns
+    (top-left flat index (clipped), per-slot bilinear weights with
+    zero-padding validity) — see _bilinear_gather_wide."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)
+    fy = (y - y0).astype(jnp.float32)
+    x0c = jnp.clip(x0, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    px = (x0c - x0).astype(jnp.float32)
+    py = (y0c - y0).astype(jnp.float32)
+    idx = (y0c * w + x0c).astype(jnp.int32)
+
+    def _in(lo, hi, t):
+        return ((t >= lo) & (t <= hi)).astype(jnp.float32)
+
+    wx0 = (1.0 - fx) * _in(0, w - 1, x0)
+    wx1 = fx * _in(0, w - 1, x0 + 1)
+    wy0 = (1.0 - fy) * _in(0, h - 1, y0)
+    wy1 = fy * _in(0, h - 1, y0 + 1)
+    sx0 = jnp.where(px > 0, wx1, wx0)
+    sx1 = jnp.where(px > 0, 0.0, wx1)
+    sy0 = jnp.where(py > 0, wy1, wy0)
+    sy1 = jnp.where(py > 0, 0.0, wy1)
+    wslot = jnp.stack(
+        [sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1
+    )  # (..., 4)
+    return idx, wslot
+
+
+def _wide_map(v_flat, w):
+    """Shifted-concat value map [v, v>>1x, v>>1y, v>>1xy] (B, nh, HW, 4d)."""
+    return jnp.concatenate(
+        [
+            v_flat,
+            jnp.roll(v_flat, -1, axis=2),
+            jnp.roll(v_flat, -w, axis=2),
+            jnp.roll(v_flat, -(w + 1), axis=2),
+        ],
+        axis=-1,
+    )
+
+
+def _level_contribution_wide_xla(v_l, hl, wl, x, y, aw_l):
+    """(sampled * aw).sum(points) via the wide gather — backward oracle
+    for the one-hot kernel."""
+    sampled = _bilinear_gather_wide(v_l, hl, wl, x, y)
+    return (sampled * aw_l[..., None]).sum(axis=3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _level_contribution_onehot(v_l, hl, wl, x, y, aw_l):
+    """Per-level deformable contribution via the Pallas one-hot kernel.
+    v_l (B, nh, HW, d); x/y/aw_l (B, nh, Lq, P). Returns (B, nh, Lq, d)."""
+    from .pallas.onehot_gather import onehot_deform_level_forward
+
+    b, nh, hw, d = v_l.shape
+    lq, p = x.shape[2], x.shape[3]
+    idx, wslot = _wide_idx_wslot(v_l.dtype, hl, wl, x, y)
+    wslot = wslot * aw_l.astype(jnp.float32)[..., None]  # fold attention wgt
+    v4 = _wide_map(v_l, wl).reshape(b * nh, hw, 4 * d)
+    out = onehot_deform_level_forward(
+        v4,
+        idx.reshape(b * nh, lq, p),
+        wslot.transpose(0, 1, 2, 4, 3).reshape(b * nh, lq, 4, p),
+        n_points=p,
+    )
+    return out.reshape(b, nh, lq, d)
+
+
+def _level_onehot_fwd(v_l, hl, wl, x, y, aw_l):
+    return _level_contribution_onehot(v_l, hl, wl, x, y, aw_l), (v_l, x, y, aw_l)
+
+
+def _level_onehot_bwd(hl, wl, res, g):
+    v_l, x, y, aw_l = res
+    _, vjp = jax.vjp(
+        lambda v, xx, yy, aw: _level_contribution_wide_xla(v, hl, wl, xx, yy, aw),
+        v_l, x, y, aw_l,
+    )
+    return vjp(g)
+
+
+_level_contribution_onehot.defvjp(_level_onehot_fwd, _level_onehot_bwd)
+
+
 def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                         attention_weights, patch: bool = False,
-                        wide: bool = False):
+                        wide: bool = False, onehot_max_cells: int = 0):
     b, s, nh, d = value.shape
     lq = sampling_locations.shape[1]
     p = sampling_locations.shape[4]
@@ -255,6 +361,10 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
         # grid_sample align_corners=False: pixel = loc * size - 0.5
         x = loc[..., 0].transpose(0, 2, 1, 3) * wl - 0.5  # (B, nh, Lq, P)
         y = loc[..., 1].transpose(0, 2, 1, 3) * hl - 0.5
+        w_l = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
+        if wide and 0 < hl * wl <= onehot_max_cells:
+            out = out + _level_contribution_onehot(v_l, hl, wl, x, y, w_l)
+            continue
         if wide:
             sampled = _bilinear_gather_wide(v_l, hl, wl, x, y)
         elif patch:
@@ -265,7 +375,6 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
             ).reshape(b, nh, lq, p, d)
         else:
             sampled = _bilinear_gather(v_l, hl, wl, x, y)  # (B, nh, Lq, P, d)
-        w_l = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # (B, nh, Lq, P)
         out = out + (sampled * w_l[..., None]).sum(axis=3)
 
     return out.transpose(0, 2, 1, 3).reshape(b, lq, nh * d)

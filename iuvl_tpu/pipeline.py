@@ -88,7 +88,7 @@ class XDecoderPipeline:
             dim_feedforward=c.get("DIM_FEEDFORWARD", 2048),
             dtype=c.get("DTYPE", "bfloat16"),
             attn_impl=c.get("ATTN_IMPL", "auto"),
-            msdeform_impl=c.get("MSDEFORM_IMPL", "wide"),
+            msdeform_impl=c.get("MSDEFORM_IMPL", "auto"),
             pixel_decoder=c.get("PIXEL_DECODER", "msdeform"),
             detection=bool(c.get("DETECTION", False)),
             llm_dim=(c.get("LLM_DIM", 4096) if c.get("Load_LLM") else 0),

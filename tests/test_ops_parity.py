@@ -156,3 +156,49 @@ def test_msdeform_wide_grad_matches_xla():
     g_wide = loss("wide")
     for a, b in zip(g_ref, g_wide):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_onehot_level_matches_wide():
+    """Pallas one-hot deformable sampling (interpret mode) vs the wide XLA
+    gather oracle, including out-of-bounds locations and grad parity."""
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from iuvl_tpu.ops import msdeform as md
+    from iuvl_tpu.ops.pallas import onehot_gather as og
+
+    rng = jax.random.PRNGKey(0)
+    b, nh, h, w, d, lq, p = 1, 2, 8, 8, 16, 40, 4
+    v = jax.random.normal(rng, (b, nh, h * w, d), jnp.float32)
+    # locations spanning out-of-bounds on both sides
+    x = jax.random.uniform(jax.random.fold_in(rng, 1), (b, nh, lq, p)) * (w + 4) - 2
+    y = jax.random.uniform(jax.random.fold_in(rng, 2), (b, nh, lq, p)) * (h + 4) - 2
+    aw = jax.nn.softmax(
+        jax.random.normal(jax.random.fold_in(rng, 3), (b, nh, lq, p)), -1
+    )
+
+    ref = md._level_contribution_wide_xla(v, h, w, x, y, aw)
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    og.pl.pallas_call = interp
+    try:
+        out = md._level_contribution_onehot(v, h, w, x, y, aw)
+        g_fast = jax.grad(
+            lambda vv, aww: (md._level_contribution_onehot(vv, h, w, x, y, aww) ** 2).sum(),
+            argnums=(0, 1),
+        )(v, aw)
+    finally:
+        og.pl.pallas_call = orig
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    g_ref = jax.grad(
+        lambda vv, aww: (md._level_contribution_wide_xla(vv, h, w, x, y, aww) ** 2).sum(),
+        argnums=(0, 1),
+    )(v, aw)
+    for a, b_ in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
