@@ -137,7 +137,7 @@ def _upscale_forward(keys, k1, b1, lnw, lnb, k2, b2, hyper):
     w2 = _blockdiag_w2(k2).astype(dt)
     b2f = jnp.tile(b2, 16).reshape(1, -1).astype(dt)
     hbd = _hyper_matrix(hyper.astype(dt), c8)
-    block = min(1024, n)
+    block = min(2048, n)
     assert n % block == 0, (n, block)
     out = pl.pallas_call(
         functools.partial(_upscale_kernel, c4=c4),

@@ -96,7 +96,7 @@ def _i2t_forward(keys, pe_wq, kbd, vbd, wq, bq, wo, bo, ln_w, ln_b,
                  G, smask, scale):
     bk_keys, n, c = keys.shape
     b, r, i = kbd.shape
-    block_q = min(1024, n)
+    block_q = min(4096, n)
     assert n % block_q == 0, (n, block_q)
     kidx = (lambda bb, qb: (0, qb, 0)) if bk_keys == 1 else (
         lambda bb, qb: (bb, qb, 0))
@@ -220,7 +220,7 @@ def _t2i_kernel(qbd_ref, x_ref, pe_ref, wk_ref, bk_ref, wv_ref, bv_ref,
 def _t2i_forward(qbd, keys, pe_wk, wk, bk_, wv, bv):
     b, r, i = qbd.shape
     bk_keys, n, c = keys.shape
-    block_k = min(1024, n)
+    block_k = min(4096, n)
     assert n % block_k == 0, (n, block_k)
     kidx = (lambda bb, kb: (0, kb, 0)) if bk_keys == 1 else (
         lambda bb, kb: (bb, kb, 0))
