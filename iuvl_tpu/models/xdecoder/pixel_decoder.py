@@ -102,6 +102,27 @@ class MSDeformAttn(nn.Module):
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
 
 
+
+class _Conv1x1MM(nn.Module):
+    """1x1 conv as a per-pixel matmul — param tree identical to nn.Conv
+    (kernel (1, 1, cin, cout) [+ bias]); see DeformablePixelDecoder._conv1x1."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, cin, self.features)
+        )
+        y = x.astype(jnp.bfloat16) @ kernel[0, 0].astype(jnp.bfloat16)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(jnp.bfloat16)
+        return y
+
+
 class DeformableEncoderLayer(nn.Module):
     """Reference transformer_encoder_deform.py:92-131 (dropout = 0)."""
 
@@ -155,6 +176,16 @@ class DeformablePixelDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"
 
+    def _conv1x1(self, name: str, features: int, use_bias: bool = True):
+        """1x1 conv as a channel matmul in bf16 (XLA's conv lowering can pick
+        layouts that degrade downstream consumers — measured on the patch
+        embed, image_encoder.py); nn.Conv (identical param tree) in fp32."""
+        if self.dtype == jnp.bfloat16:
+            return _Conv1x1MM(features, use_bias=use_bias, name=name)
+        return nn.Conv(
+            features, (1, 1), use_bias=use_bias, dtype=self.dtype, name=name
+        )
+
     @nn.compact
     def __call__(self, features: dict[str, jax.Array]):
         # Top-down transformer inputs: res5, res4, res3.
@@ -162,7 +193,7 @@ class DeformablePixelDecoder(nn.Module):
         srcs, poss, shapes = [], [], []
         for i, f in enumerate(names):
             x = features[f]
-            y = nn.Conv(self.conv_dim, (1, 1), dtype=self.dtype, name=f"input_proj{i}")(x)
+            y = self._conv1x1(f"input_proj{i}", self.conv_dim)(x)
             y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name=f"input_gn{i}")(y)
             srcs.append(y)
             h, w = y.shape[1], y.shape[2]
@@ -207,9 +238,9 @@ class DeformablePixelDecoder(nn.Module):
             start += h * w
 
         # FPN fusion into res2 (reference :344-352).
-        lateral = nn.Conv(
-            self.conv_dim, (1, 1), use_bias=False, dtype=self.dtype, name="fpn_lateral"
-        )(features["res2"])
+        lateral = self._conv1x1("fpn_lateral", self.conv_dim, use_bias=False)(
+            features["res2"]
+        )
         lateral = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="fpn_lateral_gn")(lateral)
         top = jax.image.resize(
             outs[-1],
@@ -225,7 +256,5 @@ class DeformablePixelDecoder(nn.Module):
             nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="fpn_output_gn")(fused)
         )
 
-        mask_features = nn.Conv(
-            self.mask_dim, (1, 1), dtype=self.dtype, name="mask_features"
-        )(fused)
+        mask_features = self._conv1x1("mask_features", self.mask_dim)(fused)
         return mask_features, outs
