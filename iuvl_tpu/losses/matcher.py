@@ -8,16 +8,31 @@ over a shared set of randomly sampled points, solved with
 
 TPU design: targets are padded to a static T_max with a validity mask; the
 full (B, Q, T) cost tensor is computed on device in one shot (batched
-matmuls on the MXU — no per-image Python loop), and only the final
-assignment runs on host through ``jax.pure_callback`` (the reference also
-does its assignment on CPU inside the step: matcher.py:158-165). Invalid
-target columns get a large constant cost so they absorb leftover queries;
-their assignments are masked out downstream.
+matmuls on the MXU — no per-image Python loop). Invalid target columns get
+a large constant cost so they absorb leftover queries; their assignments
+are masked out downstream.
+
+The assignment itself has two implementations, selected by
+``set_matcher_impl`` / ``$IUVL_MATCHER_IMPL`` (``auto`` = device on TPU,
+host elsewhere):
+
+* ``host`` — ``scipy.linear_sum_assignment`` through ``jax.pure_callback``
+  (the reference also assigns on CPU inside the step: matcher.py:158-165).
+  Under multi-chip pjit this forces the sharded cost tensor to be gathered
+  to host 0 every step and stalls the device pipeline on the round-trip.
+* ``auction`` — Bertsekas' auction algorithm with epsilon-scaling running
+  entirely on device in one ``lax.while_loop`` (vmap/pjit-safe, no host
+  sync). Costs are quantized to integers scaled by (T+1), so the final
+  epsilon = 1 phase is provably optimal for the quantized costs; the only
+  divergence from scipy is tie-breaking within one quantization step
+  (``2^-16`` of the finite cost range), which only reorders near-equal-cost
+  assignments.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +41,7 @@ import numpy as np
 from ..ops.point_sample import point_sample
 
 BIG_COST = 1e6
+_INT_MIN = jnp.int32(-(2**30))
 
 
 def pairwise_sigmoid_ce(inputs: jax.Array, targets: jax.Array) -> jax.Array:
@@ -103,8 +119,127 @@ def compute_match_cost(
     return jnp.where(tgt_valid[:, None, :], cost, BIG_COST)
 
 
-def hungarian_match(cost: jax.Array) -> jax.Array:
-    """(B, Q, T) cost -> (B, T) assigned query per target (host LSA)."""
+def _auction_single(cost: jax.Array, quant_bits: int = 16,
+                    scale_factor: int = 4, max_iters: int = 200_000) -> jax.Array:
+    """One instance: (Q, T) float cost -> (T,) assigned query per target.
+
+    Forward auction (persons = target columns, objects = query rows) with
+    epsilon-scaling. Jacobi bidding: every unassigned person bids each
+    iteration; the highest bid per object wins. All state transitions are
+    fixpoints once assignment completes and eps reaches 0, so the loop is
+    safe under vmap's select-masked while_loop batching.
+    """
+    q, t = cost.shape
+    if t > q:
+        raise ValueError(f"auction matcher needs T <= Q, got Q={q} T={t}")
+
+    # --- integer benefits, BIG_COST columns clipped to max_finite + 1 --- #
+    cost = cost.astype(jnp.float32)
+    cost = jnp.where(jnp.isnan(cost), BIG_COST, cost)  # _lsa_host nan_to_num
+    finite = cost < BIG_COST * 0.5
+    lo = jnp.min(jnp.where(finite, cost, jnp.inf))
+    hi = jnp.max(jnp.where(finite, cost, -jnp.inf))
+    no_finite = ~jnp.isfinite(lo)
+    lo = jnp.where(no_finite, 0.0, lo)
+    hi = jnp.where(no_finite, 1.0, jnp.maximum(hi, lo + 1e-12))
+    clipped = jnp.clip(cost, lo, hi + (hi - lo) / (2**quant_bits))
+    scale = (2**quant_bits) / (hi - lo + 1e-30)
+    ints = jnp.round((clipped - lo) * scale).astype(jnp.int32)
+    # benefits scaled by (n_persons + 1): final eps = 1 < 1/n in original
+    # integer units guarantees an optimal assignment of the quantized costs.
+    # The problem is squared with dummy persons of uniform zero benefit:
+    # epsilon-scaling keeps prices across phases, which is only sound when
+    # every object ends each phase assigned (asymmetric forward auction
+    # leaves stale high prices on unassigned objects). Uniform dummy rows
+    # cannot change the optimum on the real sub-assignment.
+    n = q  # squared person count
+    a = jnp.concatenate(
+        [-(ints.T) * (n + 1), jnp.zeros((q - t, q), jnp.int32)], axis=0
+    )  # (Q, Q) person-major; rows [0, t) are the real targets
+
+    eps0 = jnp.maximum(
+        jnp.int32(1), (jnp.max(a) - jnp.min(a)) // jnp.int32(scale_factor)
+    )
+    prices0 = jnp.zeros((q,), jnp.int32)
+    owner0 = jnp.full((q,), -1, jnp.int32)
+    assign0 = jnp.full((n,), -1, jnp.int32)
+    t_ids = jnp.arange(n, dtype=jnp.int32)
+    q_ids = jnp.arange(q, dtype=jnp.int32)
+
+    def cond(state):
+        prices, owner, assign, eps, it = state
+        return (eps >= 1) & (it < max_iters)
+
+    def body(state):
+        prices, owner, assign, eps, it = state
+        unass = assign < 0
+        # --- Jacobi bidding round ------------------------------------- #
+        values = a - prices[None, :]  # (T, Q) int32
+        j1 = jnp.argmax(values, axis=1).astype(jnp.int32)  # (T,)
+        w1 = jnp.take_along_axis(values, j1[:, None], axis=1)[:, 0]
+        v2 = jnp.where(q_ids[None, :] == j1[:, None], _INT_MIN, values)
+        w2 = jnp.max(v2, axis=1)
+        w2 = jnp.where(w2 <= _INT_MIN, w1, w2)  # Q == 1 degenerate
+        bid = w1 - w2 + eps + jnp.take(prices, j1)  # == a[i, j1] - w2 + eps
+        bidmat = jnp.where(
+            unass[:, None] & (q_ids[None, :] == j1[:, None]),
+            bid[:, None], _INT_MIN,
+        )  # (T, Q)
+        win_bid = jnp.max(bidmat, axis=0)  # (Q,)
+        win_per = jnp.argmax(bidmat, axis=0).astype(jnp.int32)
+        has = win_bid > _INT_MIN // 2
+        # --- resolve winners / evictions ------------------------------ #
+        won = has[None, :] & (win_per[None, :] == t_ids[:, None])  # (T, Q)
+        won_any = jnp.any(won, axis=1)
+        won_obj = jnp.argmax(won, axis=1).astype(jnp.int32)
+        lost = jnp.any(has[None, :] & (owner[None, :] == t_ids[:, None]), axis=1)
+        assign = jnp.where(won_any, won_obj, jnp.where(lost, -1, assign))
+        owner = jnp.where(has, win_per, owner)
+        prices = jnp.where(has, win_bid, prices)
+        # --- phase advance when fully assigned ------------------------ #
+        done_phase = ~jnp.any(unass)
+        new_eps = jnp.where(
+            done_phase,
+            jnp.where(eps == 1, 0, jnp.maximum(1, eps // scale_factor)),
+            eps,
+        )
+        reset = done_phase & (new_eps >= 1)
+        assign = jnp.where(reset, -1, assign)
+        owner = jnp.where(reset, -1, owner)
+        return prices, owner, assign, new_eps, it + 1
+
+    _, _, assign, _, _ = jax.lax.while_loop(
+        cond, body, (prices0, owner0, assign0, eps0, jnp.int32(0))
+    )
+    # real persons only; cap-exhaustion safety clamp (normally complete)
+    return jnp.maximum(assign[:t], 0)
+
+
+def auction_match(cost: jax.Array) -> jax.Array:
+    """(B, Q, T) cost -> (B, T): device-side epsilon-scaling auction LSA."""
+    return jax.vmap(_auction_single)(jax.lax.stop_gradient(cost))
+
+
+_MATCHER_IMPL = os.environ.get("IUVL_MATCHER_IMPL", "auto")
+
+
+def set_matcher_impl(impl: str) -> None:
+    """'host' | 'auction' | 'auto' (auto = auction on TPU, host elsewhere).
+    Threaded from cfg MATCHER_IMPL by the trainer; module-level because the
+    matcher is called from loss closures, not from model config."""
+    global _MATCHER_IMPL
+    if impl not in ("host", "auction", "auto"):
+        raise ValueError(f"unknown matcher impl {impl!r}")
+    _MATCHER_IMPL = impl
+
+
+def hungarian_match(cost: jax.Array, impl: str | None = None) -> jax.Array:
+    """(B, Q, T) cost -> (B, T) assigned query per target."""
+    impl = impl or _MATCHER_IMPL
+    if impl == "auto":
+        impl = "auction" if jax.default_backend() == "tpu" else "host"
+    if impl == "auction":
+        return auction_match(cost)
     b, _, t = cost.shape
     return jax.pure_callback(
         _lsa_host,

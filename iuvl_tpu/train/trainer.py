@@ -39,6 +39,11 @@ class Trainer:
         maybe_init_distributed()
         import math
 
+        from ..losses.matcher import set_matcher_impl
+
+        # host (scipy callback) | auction (on-device) | auto (device on TPU)
+        set_matcher_impl(cfg.get("MATCHER_IMPL", "auto"))
+
         model_par = cfg.get("MODEL_PARALLEL", 1)
         n_dev = jax.device_count() // model_par
         batch = cfg.get("BATCH_SIZE", n_dev)
