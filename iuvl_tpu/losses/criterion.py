@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.point_sample import point_sample, uncertain_point_coords
-from .matcher import compute_match_cost, hungarian_match
+from .matcher import batched_hungarian, compute_match_cost, hungarian_match
 
 
 @flax.struct.dataclass
@@ -134,21 +134,33 @@ class SegCriterion:
         """outputs: UnifiedDecoder dict (obj-query block only: Q = 100+1
         sliced to the first num_queries-1 masks by the caller, matching
         reference forward_seg:352-380). Returns the weighted loss dict."""
-        c = self.cfg
-        num_masks = jnp.maximum(targets.valid.sum().astype(jnp.float32), 1.0)
+        costs, kept = self.collect_costs(rng, outputs, targets, match_points)
+        assignments = batched_hungarian(costs)
+        return self.losses_from_assignments(kept, assignments, targets)
 
-        losses: dict[str, jax.Array] = {}
+    def collect_costs(self, rng, outputs, targets: SegTargets,
+                      match_points: int = 12544):
+        """Phase 1: per-layer matching costs (stop-gradient) + kept-layer
+        records. The caller solves them — normally through ONE
+        ``batched_hungarian`` call, possibly merged with the caption /
+        grounding costs of the same step (the auction while_loop runs all
+        lanes in parallel, so one merged solve costs about one solve). The
+        rng split sequence is identical to the former fused loop."""
+        c = self.cfg
         layer_outputs = list(outputs["aux_outputs"]) + [
             {k: outputs.get(k)
              for k in ("pred_logits", "pred_masks", "pred_boxes")}
         ]
+        kept: list[tuple[int, Any, jax.Array, int]] = []
+        costs = []
+        n_layers = len(layer_outputs)
         for layer_id, layer_out in enumerate(layer_outputs):
             rng, r_match, r_pts = jax.random.split(rng, 3)
             # Reference top_x_layers semantics: the FINAL layer's loss is
             # always kept; top_mask_layers trims the earliest aux layers.
-            if layer_id < max(0, len(layer_outputs) - c.top_mask_layers):
+            if layer_id < max(0, n_layers - c.top_mask_layers):
                 continue
-            cost = compute_match_cost(
+            costs.append(compute_match_cost(
                 r_match,
                 jax.lax.stop_gradient(layer_out["pred_logits"]),
                 jax.lax.stop_gradient(layer_out["pred_masks"]),
@@ -157,10 +169,20 @@ class SegCriterion:
                 cost_class=c.class_weight,
                 cost_mask=c.mask_weight,
                 cost_dice=c.dice_weight,
-            )
-            assigned = hungarian_match(cost)
+            ))
+            kept.append((layer_id, layer_out, r_pts, n_layers))
+        return costs, kept
 
-            suffix = "_0" if layer_id == len(layer_outputs) - 1 else f"_{layer_id + 1}"
+    def losses_from_assignments(self, kept, assignments,
+                                targets: SegTargets) -> dict[str, jax.Array]:
+        """Phase 2: weighted losses from the solved assignments."""
+        c = self.cfg
+        num_masks = jnp.maximum(targets.valid.sum().astype(jnp.float32), 1.0)
+        losses: dict[str, jax.Array] = {}
+        for (layer_id, layer_out, r_pts, n_layers), assigned in zip(
+            kept, assignments
+        ):
+            suffix = "_0" if layer_id == n_layers - 1 else f"_{layer_id + 1}"
             ce = self.loss_labels(layer_out["pred_logits"], targets, assigned)
             bce, dice = self.loss_masks(
                 r_pts, layer_out["pred_masks"], targets, assigned, num_masks

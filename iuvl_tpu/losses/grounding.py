@@ -23,7 +23,11 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from ..ops.point_sample import point_sample, uncertain_point_coords
+from ..ops.point_sample import (
+    point_sample,
+    point_sample_shared,
+    uncertain_point_coords,
+)
 from .language import clamped_scale, contrastive_loss
 from .matcher import BIG_COST, hungarian_match, pairwise_dice, pairwise_sigmoid_ce
 
@@ -47,6 +51,39 @@ class GroundingConfig:
     cost_dice: float = 5.0
 
 
+def grounding_cost(
+    rng: jax.Array,
+    pred_gmasks: jax.Array,  # (B, Q, H, W)
+    pred_gtexts: jax.Array,  # (B, Q, D)
+    targets: GroundingTargets,
+    logit_scale: jax.Array,
+    cfg: GroundingConfig = GroundingConfig(),
+) -> jax.Array:
+    """(B, Q, G) matching cost for external batched solving: call with the
+    SAME rng later passed to ``grounding_losses(..., assigned=...)`` and
+    the result is bit-identical to the internal matching path."""
+    b, q = pred_gmasks.shape[:2]
+    v = pred_gtexts / (jnp.linalg.norm(pred_gtexts, axis=-1, keepdims=True) + 1e-7)
+    t = targets.class_embs / (
+        jnp.linalg.norm(targets.class_embs, axis=-1, keepdims=True) + 1e-7
+    )
+    sim = clamped_scale(logit_scale) * jnp.einsum("bqd,bgd->bqg", v, t)
+
+    rng, r_pts, r_loss = jax.random.split(rng, 3)
+    coords = jax.random.uniform(r_pts, (b, cfg.num_points // 4, 2))
+    # shared points across queries/targets: channels-wide row gathers
+    # (point_sample_shared docstring has the measured rate argument)
+    pm = point_sample_shared(pred_gmasks.astype(jnp.float32), coords)
+    tm = point_sample_shared(targets.masks.astype(jnp.float32), coords)
+    cost = (
+        cfg.cost_class * (-jax.nn.softmax(sim, axis=1))
+        + cfg.cost_mask * jax.vmap(pairwise_sigmoid_ce)(pm, tm)
+        + cfg.cost_dice * jax.vmap(pairwise_dice)(pm, tm)
+    )
+    cost = jnp.where(jnp.isfinite(cost), cost, BIG_COST)
+    return jnp.where(targets.valid[:, None, :], cost, BIG_COST)
+
+
 def grounding_losses(
     rng: jax.Array,
     pred_gmasks: jax.Array,  # (B, Q, H, W)
@@ -54,9 +91,11 @@ def grounding_losses(
     targets: GroundingTargets,
     logit_scale: jax.Array,
     cfg: GroundingConfig = GroundingConfig(),
+    assigned: jax.Array | None = None,  # (B, G) from an external batched solve
 ) -> dict[str, jax.Array]:
     b, q = pred_gmasks.shape[:2]
     g = targets.masks.shape[1]
+    rng0 = rng  # grounding_cost re-derives r_pts from the same entry rng
 
     v = pred_gtexts / (jnp.linalg.norm(pred_gtexts, axis=-1, keepdims=True) + 1e-7)
     t = targets.class_embs / (
@@ -64,26 +103,13 @@ def grounding_losses(
     )
     sim = clamped_scale(logit_scale) * jnp.einsum("bqd,bgd->bqg", v, t)
 
-    # ---- matching cost: class sim + point-sampled mask costs ---- #
+    # ---- matching (internal unless solved externally via grounding_cost) - #
     rng, r_pts, r_loss = jax.random.split(rng, 3)
-    coords = jax.random.uniform(r_pts, (b, 1, cfg.num_points // 4, 2))
-    npts = coords.shape[2]
-    pm = point_sample(
-        pred_gmasks.astype(jnp.float32).reshape(b * q, *pred_gmasks.shape[2:]),
-        jnp.broadcast_to(coords, (b, q, npts, 2)).reshape(b * q, npts, 2),
-    ).reshape(b, q, npts)
-    tm = point_sample(
-        targets.masks.astype(jnp.float32).reshape(b * g, *targets.masks.shape[2:]),
-        jnp.broadcast_to(coords, (b, g, npts, 2)).reshape(b * g, npts, 2),
-    ).reshape(b, g, npts)
-    cost = (
-        cfg.cost_class * (-jax.nn.softmax(sim, axis=1))
-        + cfg.cost_mask * jax.vmap(pairwise_sigmoid_ce)(pm, tm)
-        + cfg.cost_dice * jax.vmap(pairwise_dice)(pm, tm)
-    )
-    cost = jnp.where(jnp.isfinite(cost), cost, BIG_COST)
-    cost = jnp.where(targets.valid[:, None, :], cost, BIG_COST)
-    assigned = hungarian_match(cost)  # (B, G)
+    if assigned is None:
+        cost = grounding_cost(
+            rng0, pred_gmasks, pred_gtexts, targets, logit_scale, cfg
+        )
+        assigned = hungarian_match(cost)  # (B, G)
 
     # ---- point-sampled BCE + dice on matched masks ---- #
     src = jnp.take_along_axis(pred_gmasks, assigned[:, :, None, None], axis=1)

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.point_sample import point_sample
+from ..ops.point_sample import point_sample_shared
 
 BIG_COST = 1e6
 _INT_MIN = jnp.int32(-(2**30))
@@ -96,19 +96,11 @@ def compute_match_cost(
     prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
     c_class = -jnp.take_along_axis(prob, tgt_labels[:, None, :], axis=2)  # (B, Q, T)
 
-    coords = jax.random.uniform(rng, (b, 1, num_points, 2))
-    coords_q = jnp.broadcast_to(coords, (b, q, num_points, 2)).reshape(
-        b * q, num_points, 2
-    )
-    coords_t = jnp.broadcast_to(coords, (b, t, num_points, 2)).reshape(
-        b * t, num_points, 2
-    )
-    pm = point_sample(
-        pred_masks.astype(jnp.float32).reshape(b * q, *pred_masks.shape[2:]), coords_q
-    ).reshape(b, q, num_points)
-    tm = point_sample(
-        tgt_masks.astype(jnp.float32).reshape(b * t, *tgt_masks.shape[2:]), coords_t
-    ).reshape(b, t, num_points)
+    coords = jax.random.uniform(rng, (b, num_points, 2))
+    # points are shared across queries/targets: channels-wide row gathers
+    # (point_sample_shared docstring has the measured 50x rate argument)
+    pm = point_sample_shared(pred_masks.astype(jnp.float32), coords)
+    tm = point_sample_shared(tgt_masks.astype(jnp.float32), coords)
 
     c_mask = jax.vmap(pairwise_sigmoid_ce)(pm, tm)
     c_dice = jax.vmap(pairwise_dice)(pm, tm)
@@ -218,6 +210,36 @@ def _auction_single(cost: jax.Array, quant_bits: int = 16,
 def auction_match(cost: jax.Array) -> jax.Array:
     """(B, Q, T) cost -> (B, T): device-side epsilon-scaling auction LSA."""
     return jax.vmap(_auction_single)(jax.lax.stop_gradient(cost))
+
+
+def batched_hungarian(costs, impl: str | None = None):
+    """Solve several (B, Q, T_i) assignment problems in ONE matcher call;
+    returns the per-problem (B, T_i) assignments.
+
+    The auction while_loop runs all lanes in parallel, so k batched solves
+    cost about one solve (the loop runs to the slowest lane) instead of k
+    sequential 60+ ms calls — this is how the per-layer matchings of the
+    criterion/caption/grounding losses stay off the train-step critical
+    path. T dims are padded to a common width with uniform BIG_COST
+    columns, which cannot change the valid sub-assignment (every padded
+    column absorbs a leftover query at identical cost regardless of
+    which). All costs must share Q.
+    """
+    if len(costs) == 1:
+        return [hungarian_match(costs[0], impl=impl)]
+    tmax = max(c.shape[2] for c in costs)
+    padded = [
+        jnp.pad(c, ((0, 0), (0, 0), (0, tmax - c.shape[2])),
+                constant_values=BIG_COST)
+        for c in costs
+    ]
+    out = hungarian_match(jnp.concatenate(padded, axis=0), impl=impl)
+    res, off = [], 0
+    for c in costs:
+        b, _, t = c.shape
+        res.append(out[off:off + b, :t])
+        off += b
+    return res
 
 
 _MATCHER_IMPL = os.environ.get("IUVL_MATCHER_IMPL", "auto")

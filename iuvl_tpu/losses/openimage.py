@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.point_sample import point_sample
+from ..ops.point_sample import point_sample_shared
 from .language import clamped_scale
 from .matcher import BIG_COST, hungarian_match, pairwise_dice, pairwise_sigmoid_ce
 
@@ -59,16 +59,10 @@ def openimage_losses(
 
     # ---- matching: class prob over [pos; neg] + point-sampled masks ---- #
     rng, r_pts = jax.random.split(rng)
-    coords = jax.random.uniform(r_pts, (b, 1, num_points // 4, 2))
-    npts = coords.shape[2]
-    pm = point_sample(
-        pred_masks.astype(jnp.float32).reshape(b * q, *pred_masks.shape[2:]),
-        jnp.broadcast_to(coords, (b, q, npts, 2)).reshape(b * q, npts, 2),
-    ).reshape(b, q, npts)
-    tm = point_sample(
-        tgt_masks.astype(jnp.float32).reshape(b * t, *tgt_masks.shape[2:]),
-        jnp.broadcast_to(coords, (b, t, npts, 2)).reshape(b * t, npts, 2),
-    ).reshape(b, t, npts)
+    coords = jax.random.uniform(r_pts, (b, num_points // 4, 2))
+    # shared points across queries/targets: channels-wide row gathers
+    pm = point_sample_shared(pred_masks.astype(jnp.float32), coords)
+    tm = point_sample_shared(tgt_masks.astype(jnp.float32), coords)
     cost = (
         cost_class * (-jax.nn.softmax(sim, axis=-1)[..., :t])
         + cost_mask * jax.vmap(pairwise_sigmoid_ce)(pm, tm)

@@ -119,6 +119,7 @@ class SysLearner(nn.Module):
                 n_heads=c.nheads,
                 dtype=dtype,
                 impl=c.msdeform_impl,
+                remat=c.remat,
             )
         self.predictor = UnifiedDecoder(
             hidden_dim=c.syslearner_dim,

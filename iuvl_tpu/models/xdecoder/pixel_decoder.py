@@ -175,6 +175,8 @@ class DeformablePixelDecoder(nn.Module):
     n_points: int = 4
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"
+    remat: bool = False  # rematerialize encoder layers in backward: each
+    # layer otherwise stores ~1 GB of deformable-gather rows at 1024^2 B=2
 
     def _conv1x1(self, name: str, features: int, use_bias: bool = True):
         """1x1 conv as a channel matmul in bf16 (XLA's conv lowering can pick
@@ -218,13 +220,20 @@ class DeformablePixelDecoder(nn.Module):
         ref_pts = encoder_reference_points(shapes)[None]  # (1, S, L, 2)
         ref_pts = jnp.broadcast_to(ref_pts, (b, *ref_pts.shape[1:]))
 
+        # static_argnums index 4 = spatial_shapes in (module, src, pos,
+        # reference_points, spatial_shapes); must be hashable under remat
+        layer_cls = (
+            nn.remat(DeformableEncoderLayer, static_argnums=(4,))
+            if self.remat else DeformableEncoderLayer
+        )
+        shapes_t = tuple(shapes)
         y = src_flat
         for i in range(self.num_layers):
-            y = DeformableEncoderLayer(
+            y = layer_cls(
                 d_model=self.conv_dim, n_heads=self.n_heads, n_points=self.n_points,
                 n_levels=len(names), dtype=self.dtype, impl=self.impl,
                 name=f"layer{i}",
-            )(y, pos_flat, ref_pts, shapes)
+            )(y, pos_flat, ref_pts, shapes_t)
 
         # Split back to maps (coarse -> fine): res5', res4', res3'.
         outs = []

@@ -346,6 +346,10 @@ def _flash_backward(q, k, v, o, lse, g, softmax_scale=1.0,
         ),
     )(n_valid, qf, kf, vf, gf, lsef, delta)
 
+    # Barrier: without it XLA's scoped-memory pass keeps the dk/dv
+    # custom-call results on the VMEM stack inside a scanned train step and
+    # blows the 16 MB scoped-vmem limit (v5e, B=2 @1024^2 global blocks).
+    dq, dk, dv = jax.lax.optimization_barrier((dq, dk, dv))
     dq = dq.reshape(b, h, np_, dqk_p)[:, :, :n, :d_qk]
     if softmax_scale != 1.0:
         dq = dq * softmax_scale

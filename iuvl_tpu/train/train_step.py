@@ -11,6 +11,7 @@ GradScaler AMP (TPU-idiomatic; no loss scaling needed for bf16).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import flax.struct
@@ -19,6 +20,21 @@ import jax.numpy as jnp
 import optax
 
 from ..losses.criterion import SegCriterion, SegTargets
+
+
+def train_compiler_options() -> Optional[dict]:
+    """Compiler options for training programs on TPU.
+
+    Under remat the flash-attention forward kernel's pipeline buffers are
+    live concurrently with the fused backward kernels, and the combined
+    scoped-VMEM stack overflows XLA's default 16 MB limit (~1-3 MB over at
+    1024^2). v5e/v4 have 128 MB of VMEM per core, so raising the scoped
+    stack to 24 MB costs nothing; eval/serving programs keep the default.
+    Override via $IUVL_SCOPED_VMEM_KIB (0 disables)."""
+    if jax.default_backend() != "tpu":
+        return None
+    kib = int(os.environ.get("IUVL_SCOPED_VMEM_KIB", "24576"))
+    return {"xla_tpu_scoped_vmem_limit_kib": kib} if kib else None
 
 
 @flax.struct.dataclass
@@ -90,11 +106,12 @@ def make_joint_train_step(
         GroundingTargets,
         caption_loss,
         captioning_loss,
+        grounding_cost,
         grounding_losses,
         retrieval_loss,
         spatial_losses,
     )
-    from ..losses.matcher import compute_match_cost, hungarian_match
+    from ..losses.matcher import batched_hungarian, compute_match_cost
 
     gcfg = GroundingConfig(num_points=match_points)
 
@@ -146,7 +163,17 @@ def make_joint_train_step(
         obj, grd = split_seg_outputs(
             outputs, model.cfg.num_queries, grounding=has_grounding
         )
-        losses.update(criterion(rng, obj, targets, match_points=match_points))
+
+        # ---- ALL matching costs of the step, solved in ONE batched call
+        # (criterion + per-layer caption + per-layer grounding): the
+        # device auction matcher's while_loop runs every problem as a
+        # parallel lane, so ~30 matchings cost about one 60 ms solve
+        # instead of 30 (batched_hungarian docstring). rng draw sequences
+        # are identical to the former per-loop matching. ---------------- #
+        all_costs, crit_kept = criterion.collect_costs(
+            rng, obj, targets, match_points=match_points
+        )
+        n_crit = len(all_costs)
 
         nq = model.cfg.num_queries
         # Per-layer language losses (reference applies loss_captions /
@@ -160,25 +187,21 @@ def make_joint_train_step(
                 return outputs
             return outputs["aux_outputs"][i]
 
+        cap_records = []
         if "phrase_embs" in seg_extras:
             for i in layer_ids:
                 o = layer_out(i)
                 rng, r_cap, r_m = jax.random.split(rng, 3)
-                cost = compute_match_cost(
+                all_costs.append(compute_match_cost(
                     r_m,
                     jax.lax.stop_gradient(o["pred_logits"][:, : nq - 1]),
                     jax.lax.stop_gradient(o["pred_masks"][:, : nq - 1]),
                     targets.labels, targets.masks, targets.valid,
                     num_points=match_points,
-                )
-                assigned = hungarian_match(cost)
-                suffix = "_0" if i == n_layers - 1 else f"_{i + 1}"
-                losses[f"loss_caption{suffix}"] = caption_loss(
-                    r_cap, o["pred_captions"][:, : nq - 1],
-                    assigned, targets.labels, targets.valid, text_embeddings,
-                    seg_extras["phrase_embs"], seg_extras["phrase_valid"],
-                    seg_extras["phrase_groups"], _logit_scale(params),
-                )
+                ))
+                cap_records.append((i, o, r_cap))
+        grd_records = []
+        gt = None
         if has_grounding and "grounding_masks" in seg_extras:
             gt = GroundingTargets(
                 masks=seg_extras["grounding_masks"],
@@ -190,15 +213,38 @@ def make_joint_train_step(
             for i in layer_ids:
                 o = layer_out(i)
                 rng, r_g = jax.random.split(rng)
-                suffix = "_0" if i == n_layers - 1 else f"_{i + 1}"
-                g_losses = grounding_losses(
+                all_costs.append(grounding_cost(
                     r_g, o["pred_masks"][:, nq : 2 * nq - 1],
                     o["pred_captions"][:, nq : 2 * nq - 1], gt,
                     _logit_scale(params), gcfg,
-                )
-                losses.update(
-                    {k.replace("_0", suffix): v for k, v in g_losses.items()}
-                )
+                ))
+                grd_records.append((i, o, r_g))
+
+        assigns = batched_hungarian(all_costs)
+        losses.update(criterion.losses_from_assignments(
+            crit_kept, assigns[:n_crit], targets
+        ))
+        off = n_crit
+        for (i, o, r_cap), assigned in zip(cap_records,
+                                           assigns[off:off + len(cap_records)]):
+            suffix = "_0" if i == n_layers - 1 else f"_{i + 1}"
+            losses[f"loss_caption{suffix}"] = caption_loss(
+                r_cap, o["pred_captions"][:, : nq - 1],
+                assigned, targets.labels, targets.valid, text_embeddings,
+                seg_extras["phrase_embs"], seg_extras["phrase_valid"],
+                seg_extras["phrase_groups"], _logit_scale(params),
+            )
+        off += len(cap_records)
+        for (i, o, r_g), assigned in zip(grd_records, assigns[off:]):
+            suffix = "_0" if i == n_layers - 1 else f"_{i + 1}"
+            g_losses = grounding_losses(
+                r_g, o["pred_masks"][:, nq : 2 * nq - 1],
+                o["pred_captions"][:, nq : 2 * nq - 1], gt,
+                _logit_scale(params), gcfg, assigned=assigned,
+            )
+            losses.update(
+                {k.replace("_0", suffix): v for k, v in g_losses.items()}
+            )
 
         if "spatial_points" in seg_extras:
             # Spatial-prompt stream: trains the SAM->unified-decoder
@@ -251,7 +297,8 @@ def make_joint_train_step(
             {"loss_total": total, **losses},
         )
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   compiler_options=train_compiler_options())
 
 
 def make_train_step(
@@ -285,4 +332,5 @@ def make_train_step(
             metrics,
         )
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   compiler_options=train_compiler_options())
