@@ -331,11 +331,20 @@ def _level_onehot_fwd(v_l, hl, wl, x, y, aw_l):
 
 def _level_onehot_bwd(hl, wl, res, g):
     v_l, x, y, aw_l = res
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda v, xx, yy, aw: _level_contribution_wide_xla(v, hl, wl, xx, yy, aw),
         v_l, x, y, aw_l,
     )
-    return vjp(g)
+    # The oracle may accumulate in a wider dtype than the kernel's primal
+    # output (e.g. fp32 attention weights x bf16 values); align the cotangent
+    # dtypes on both sides so custom_vjp's exact-dtype contract holds.
+    dv, dx, dy, daw = vjp(g.astype(out.dtype))
+    return (
+        dv.astype(v_l.dtype),
+        dx.astype(x.dtype),
+        dy.astype(y.dtype),
+        daw.astype(aw_l.dtype),
+    )
 
 
 _level_contribution_onehot.defvjp(_level_onehot_fwd, _level_onehot_bwd)

@@ -24,6 +24,12 @@ def point_sample(masks: jax.Array, coords: jax.Array) -> jax.Array:
     values and carry exactly-zero weights, so the result is identical to
     the per-tap clip-and-mask formulation (weight formula and tap
     accumulation order unchanged).
+
+    For small maps the batch dim is collapsed into the row index so the
+    gather is a flat 2-D take — that HLO path measured ~4x faster than the
+    batched take_along_axis at 256^2 (the same trick as ops/msdeform.py's
+    flat gather), while at 1024^2 the flat table is slower, so large maps
+    keep the batched form.
     """
     n, h, w = masks.shape
     x = coords[..., 0] * w - 0.5
@@ -44,7 +50,12 @@ def point_sample(masks: jax.Array, coords: jax.Array) -> jax.Array:
         y0.astype(jnp.int32) * w + x0.astype(jnp.int32) + pad
     )  # in [0, span-1] for coords in [0, 1]
     base = jnp.clip(base, 0, span - 1)
-    g4 = jnp.take_along_axis(wide, base[:, :, None], axis=1)  # (n, P, 4)
+    if h * w <= 65536:  # flat 2-D gather path (measured crossover: <=256^2)
+        rows = base + jnp.arange(n, dtype=jnp.int32)[:, None] * span
+        g4 = jnp.take(wide.reshape(n * span, 4), rows.reshape(-1), axis=0)
+        g4 = g4.reshape(n, coords.shape[1], 4)
+    else:
+        g4 = jnp.take_along_axis(wide, base[:, :, None], axis=1)  # (n, P, 4)
 
     out = jnp.zeros(coords.shape[:-1], masks.dtype)
     for k, (dy, dx, wgt) in enumerate((
