@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ...ops.msdeform import ms_deform_attn_core
 from ...ops.position_embedding import position_embedding_sine
@@ -99,6 +100,12 @@ class MSDeformAttn(nn.Module):
         out = ms_deform_attn_core(
             value, spatial_shapes, locations, attn, impl=self.impl
         )
+        # Tag the gather-core output so the remat policy can keep it: the
+        # weighted-gather sum is the expensive part of the layer (issue-rate
+        # bound), but its OUTPUT is small ((B, S, C) bf16 ~45 MB/layer at
+        # 1024^2 B=2 vs ~1 GB of gather rows). Saving it means the remat
+        # recompute replays only the cheap projections/FFN.
+        out = checkpoint_name(out, "deform_core")
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
 
 
@@ -223,7 +230,13 @@ class DeformablePixelDecoder(nn.Module):
         # static_argnums index 4 = spatial_shapes in (module, src, pos,
         # reference_points, spatial_shapes); must be hashable under remat
         layer_cls = (
-            nn.remat(DeformableEncoderLayer, static_argnums=(4,))
+            nn.remat(
+                DeformableEncoderLayer,
+                static_argnums=(4,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "deform_core"
+                ),
+            )
             if self.remat else DeformableEncoderLayer
         )
         shapes_t = tuple(shapes)
