@@ -100,11 +100,12 @@ class MSDeformAttn(nn.Module):
         out = ms_deform_attn_core(
             value, spatial_shapes, locations, attn, impl=self.impl
         )
-        # Tag the gather-core output so the remat policy can keep it: the
-        # weighted-gather sum is the expensive part of the layer (issue-rate
-        # bound), but its OUTPUT is small ((B, S, C) bf16 ~45 MB/layer at
-        # 1024^2 B=2 vs ~1 GB of gather rows). Saving it means the remat
-        # recompute replays only the cheap projections/FFN.
+        # Tag the gather-core output so the remat policy keeps it ((B, S, C)
+        # bf16 ~45 MB/layer at 1024^2 B=2). Measured effect is small
+        # (3321.6 -> 3299.6 ms/step, B=2 @1024^2 v5e): the VJP of bilinear
+        # sampling intrinsically RE-gathers the tap rows to form d_attn /
+        # d_locations (saving the output cannot remove those), so the policy
+        # only spares the projection/FFN replay. Kept because it is free.
         out = checkpoint_name(out, "deform_core")
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
 
