@@ -307,12 +307,47 @@ class TwoWayAttentionBlock(nn.Module):
     fused: bool = False  # Pallas block kernels (bf16 TPU serving path)
 
     @nn.compact
-    def __call__(self, queries, keys, query_pe, key_pe):
+    def __call__(self, queries, keys, query_pe, key_pe,
+                 front_only: bool = False, weights_only: bool = False):
         """query_pe: (B, T, C); key_pe: (1 or B, HW, C) — PE tensors are
         passed into the attention modules unfused (folded through the
-        projections there), so a batch-1 key_pe is never tiled per prompt."""
+        projections there), so a batch-1 key_pe is never tiled per prompt.
+
+        ``front_only``: run self-attn + t2i + mlp, then return
+        ``(queries, i2t_weights, (norm4_scale, norm4_bias))`` with keys
+        untouched — the whole-chunk fused decode (ops/pallas/decode_chunk.py)
+        takes over from the i2t step. ``weights_only``: create every
+        submodule with the identical param tree and return the raw weights.
+        """
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
         h = self.num_heads
+        if weights_only:
+            w = {}
+            w["self"] = DownsampledAttention(
+                self.embedding_dim, self.num_heads, dtype=self.dtype,
+                name="self_attn")(None, weights_only=True)
+            w["ln1"] = dict(zip(("scale", "bias"),
+                                _LNParams(self.embedding_dim, name="norm1")()))
+            w["t2i"] = DownsampledAttention(
+                self.embedding_dim, self.num_heads,
+                self.attention_downsample_rate, dtype=self.dtype,
+                name="cross_attn_t2i")(None, weights_only=True)
+            w["ln2"] = dict(zip(("scale", "bias"),
+                                _LNParams(self.embedding_dim, name="norm2")()))
+            w["mlp"] = {}
+            w["mlp"]["w1"], w["mlp"]["b1"] = _Proj(
+                self.embedding_dim, self.mlp_dim, name="mlp_lin1")()
+            w["mlp"]["w2"], w["mlp"]["b2"] = _Proj(
+                self.mlp_dim, self.embedding_dim, name="mlp_lin2")()
+            w["ln3"] = dict(zip(("scale", "bias"),
+                                _LNParams(self.embedding_dim, name="norm3")()))
+            w["i2t"] = DownsampledAttention(
+                self.embedding_dim, self.num_heads,
+                self.attention_downsample_rate, dtype=self.dtype,
+                name="cross_attn_i2t")(None, weights_only=True)
+            w["ln4"] = dict(zip(("scale", "bias"),
+                                _LNParams(self.embedding_dim, name="norm4")()))
+            return w
         if self.skip_first_layer_pe:
             queries = DownsampledAttention(
                 self.embedding_dim, self.num_heads, dtype=self.dtype, name="self_attn"
@@ -343,6 +378,10 @@ class TwoWayAttentionBlock(nn.Module):
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             dtype=self.dtype, name="cross_attn_i2t",
         )
+        if front_only:
+            w = i2t(None, weights_only=True)
+            ln_w, ln_b = _LNParams(self.embedding_dim, name="norm4")()
+            return queries, w, (ln_w, ln_b)
         if self.fused:
             w = i2t(None, weights_only=True)
             ln_w, ln_b = _LNParams(self.embedding_dim, name="norm4")()
@@ -378,9 +417,17 @@ class TwoWayTransformer(nn.Module):
         return False
 
     @nn.compact
-    def __call__(self, image_embedding, image_pe, point_embedding):
+    def __call__(self, image_embedding, image_pe, point_embedding,
+                 chunk_front: bool = False):
         """image_embedding: (1 or B, H, W, C); image_pe: (1 or B, H, W, C);
         point_embedding: (B, N, C). Returns (queries (B, N, C), keys (B, HW, C)).
+
+        ``chunk_front`` (whole-chunk fused decode, ops/pallas/decode_chunk.py):
+        run only block 0's token-side front (self + t2i + mlp) — which never
+        writes into the shared batch-1 keys — and collect the raw weights of
+        everything keys-dependent (block 0 i2t, all of block 1, the final
+        attention + its norm). Returns ``(queries, W, keys, key_pe)`` with W
+        keyed as decode_tail expects; requires depth == 2.
 
         One-encode/many-decode optimization: with a batch-1 image embedding
         (point/box prompts share one image), the key-side tensors stay
@@ -394,6 +441,41 @@ class TwoWayTransformer(nn.Module):
         key_pe = image_pe.reshape(image_pe.shape[0], h * w, c).astype(keys.dtype)
         queries = point_embedding
         fused = self._use_fused()
+
+        if chunk_front:
+            assert self.depth == 2, "chunk decode assumes the SAM depth-2 stack"
+            blk = lambda i, skip: TwoWayAttentionBlock(
+                embedding_dim=self.embedding_dim,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                attention_downsample_rate=self.attention_downsample_rate,
+                skip_first_layer_pe=skip,
+                dtype=self.dtype,
+                fused=False,
+                name=f"layer{i}",
+            )
+            q0, w_i2t0, ln40 = blk(0, True)(
+                queries, keys, point_embedding, key_pe, front_only=True)
+            w1 = blk(1, False)(None, None, None, None, weights_only=True)
+            wf = DownsampledAttention(
+                self.embedding_dim, self.num_heads,
+                self.attention_downsample_rate, dtype=self.dtype,
+                name="final_attn_t2i")(None, weights_only=True)
+            lnf_w, lnf_b = _LNParams(
+                self.embedding_dim, name="norm_final_attn")()
+            strip = lambda d: {k: d[k] for k in
+                               ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo")}
+            W = dict(
+                i2t0=strip(w_i2t0),
+                ln40=dict(scale=ln40[0], bias=ln40[1]),
+                self1=strip(w1["self"]), ln11=w1["ln1"],
+                t2i1=strip(w1["t2i"]), ln21=w1["ln2"],
+                mlp1=w1["mlp"], ln31=w1["ln3"],
+                i2t1=strip(w1["i2t"]), ln41=w1["ln4"],
+                final=strip(wf),
+                lnf=dict(scale=lnf_w, bias=lnf_b),
+            )
+            return q0, W, keys, key_pe
 
         for i in range(self.depth):
             queries, keys = TwoWayAttentionBlock(
@@ -427,15 +509,30 @@ class TwoWayTransformer(nn.Module):
 
 
 class HyperMLP(nn.Module):
-    """3-layer ReLU MLP (reference mask_decoder.py:177-199)."""
+    """3-layer ReLU MLP (reference mask_decoder.py:177-199).
+
+    ``weights_only`` creates the identical param tree via _Proj and returns
+    the raw ``[(kernel, bias), ...]`` per layer for the whole-chunk fused
+    decode (ops/pallas/decode_chunk.py); ``in_dim`` is the input feature
+    count (defaults to hidden_dim, which holds for every SAM use)."""
 
     hidden_dim: int
     output_dim: int
     num_layers: int = 3
     dtype: jnp.dtype = jnp.float32
+    in_dim: int | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, weights_only: bool = False):
+        if weights_only:
+            ws = []
+            d_in = self.in_dim if self.in_dim is not None else self.hidden_dim
+            for i in range(self.num_layers):
+                d_out = (self.output_dim if i == self.num_layers - 1
+                         else self.hidden_dim)
+                ws.append(_Proj(d_in, d_out, name=f"lin{i}")())
+                d_in = d_out
+            return ws
         for i in range(self.num_layers - 1):
             x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"lin{i}")(x))
         return nn.Dense(self.output_dim, dtype=self.dtype, name=f"lin{self.num_layers - 1}")(x)
@@ -469,6 +566,28 @@ class _LN2dParams(nn.Module):
         weight = self.param("weight", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         return weight, bias
+
+
+def _upscaled_from_keys(keys, k1, b1, lnw, lnb, k2, b2, hgrid, wgrid, dt):
+    """(B, 4H, 4W, C/8) upscaled embedding from flat keys (B, HW, C) and raw
+    deconv params, in the flat-matmul formulation (each 2x2/2 transposed conv
+    is a per-site matmul — see ops/pallas/mask_upscale.py docstring)."""
+    from ...ops.pallas.mask_upscale import _blockdiag_w2, _flat_w1
+
+    c4, c8 = k1.shape[2], k2.shape[2]
+    y1 = keys @ _flat_w1(k1).astype(dt) + jnp.tile(b1, 4).astype(dt)
+    y1 = y1.reshape(-1, hgrid * wgrid * 4, c4)
+    xf = y1.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y1 = (((xf - mu) * jax.lax.rsqrt(var + 1e-6)) * lnw + lnb).astype(dt)
+    y1 = gelu(y1).reshape(-1, hgrid * wgrid, 4 * c4)
+    y2 = y1 @ _blockdiag_w2(k2).astype(dt) + jnp.tile(b2, 16).astype(dt)
+    y2 = gelu(y2)
+    # cols (di, dj, ei, ej, c) -> (B, 4H, 4W, C/8)
+    up = y2.reshape(-1, hgrid, wgrid, 2, 2, 2, 2, c8)
+    return up.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        -1, 4 * hgrid, 4 * wgrid, c8)
 
 
 class MaskDecoder(nn.Module):
@@ -515,6 +634,85 @@ class MaskDecoder(nn.Module):
         src = image_embeddings + dense_prompt_embeddings
         if image_pe.ndim == 3:
             image_pe = image_pe[None]  # stays batch-1; folded downstream
+        _, hgrid, wgrid, c = src.shape
+
+        if self.twoway_impl in ("chunk", "chunk_xla"):
+            # Whole-chunk fused decode: ONE kernel pass per prompt with the
+            # keys row resident in VMEM (ops/pallas/decode_chunk.py);
+            # "chunk_xla" runs the batched XLA oracle of the same math.
+            if src.shape[0] != 1:
+                raise ValueError(
+                    "chunk decode is the one-encode/many-decode serving path "
+                    "and needs a shared batch-1 image embedding; got "
+                    f"{src.shape}")
+            from ...ops.pallas.decode_chunk import (
+                decode_tail, decode_tail_xla, unflatten_masks_ge)
+
+            m = self.num_mask_tokens
+            nh = self.transformer_num_heads
+            q0, W, keys0, key_pe_f = TwoWayTransformer(
+                embedding_dim=self.transformer_dim,
+                mlp_dim=self.transformer_mlp_dim,
+                num_heads=nh,
+                dtype=self.dtype,
+                impl="off",
+                name="transformer",
+            )(src.astype(self.dtype), image_pe, tokens, chunk_front=True)
+            c4, c8 = self.transformer_dim // 4, self.transformer_dim // 8
+            hws = [
+                HyperMLP(self.transformer_dim, c8, dtype=self.dtype,
+                         name=f"hyper_mlp{i}")(None, weights_only=True)
+                for i in range(m)
+            ]
+            for li, nm in enumerate(("hyper_w1", "hyper_w2", "hyper_w3")):
+                W[nm] = jnp.stack([hws[i][li][0] for i in range(m)])
+                W[nm.replace("w", "b")] = jnp.stack(
+                    [hws[i][li][1] for i in range(m)])
+            k1, b1 = _ConvTParams(c4, c, name="upscale_deconv1")()
+            lnw, lnb = _LN2dParams(c4, name="upscale_ln")()
+            k2, b2 = _ConvTParams(c8, c4, name="upscale_deconv2")()
+            W.update(up_k1=k1, up_b1=b1, up_lnw=lnw, up_lnb=lnb,
+                     up_k2=k2, up_b2=b2)
+
+            t_valid = q0.shape[1]
+            tp = -(-t_valid // 16) * 16  # token slots padded to the sublane tile
+            pad = ((0, 0), (0, tp - t_valid), (0, 0))
+            q0p = jnp.pad(q0.astype(self.dtype), pad)
+            tpep = jnp.pad(tokens, pad)
+            if self.twoway_impl == "chunk":
+                tout, flat = decode_tail(q0p, tpep, keys0, key_pe_f, W,
+                                         nh, t_valid)
+            else:
+                tout, flat, _ = decode_tail_xla(
+                    q0p, tpep, keys0, key_pe_f, W, n_heads=nh,
+                    t_valid=t_valid)
+            masks = unflatten_masks_ge(flat, hgrid, wgrid, m)
+            dt = self.dtype
+            x = tout[:, 1:1 + m].astype(dt)
+            mm = lambda x, wn, bn: (
+                jnp.einsum("bmc,mcd->bmd", x, W[wn].astype(dt))
+                + W[bn].astype(dt))
+            x = jnp.maximum(mm(x, "hyper_w1", "hyper_b1"), 0)
+            x = jnp.maximum(mm(x, "hyper_w2", "hyper_b2"), 0)
+            hyper_in = mm(x, "hyper_w3", "hyper_b3")
+            # upscaled embedding: the kernel never materializes keys2 (that
+            # is the point), so reconstruct through the XLA oracle — DCEd
+            # entirely under jit when the caller only consumes masks.
+            keys2 = decode_tail_xla(q0p, tpep, keys0, key_pe_f, W,
+                                    n_heads=nh, t_valid=t_valid)[2]
+            upscaled = _upscaled_from_keys(keys2, k1, b1, lnw, lnb, k2, b2,
+                                           hgrid, wgrid, dt)
+            iou_pred = HyperMLP(
+                self.iou_head_hidden_dim, self.num_mask_tokens,
+                num_layers=self.iou_head_depth, dtype=self.dtype,
+                name="iou_head",
+            )(tout[:, 0].astype(self.dtype))
+            return {
+                "masks": masks,
+                "iou_pred": iou_pred,
+                "upscaled_embedding": upscaled,
+                "hyper_in": hyper_in,
+            }
 
         hs, keys = TwoWayTransformer(
             embedding_dim=self.transformer_dim,
@@ -527,7 +725,6 @@ class MaskDecoder(nn.Module):
         iou_token_out = hs[:, 0]
         mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens]
 
-        _, hgrid, wgrid, c = src.shape
         hyper_in = jnp.stack(
             [
                 HyperMLP(
@@ -549,8 +746,7 @@ class MaskDecoder(nn.Module):
             # contraction (ops/pallas/mask_upscale.py). The spatial upscaled
             # embedding is reconstructed from the same raw params below and
             # DCEd by XLA when the caller only consumes masks.
-            from ...ops.pallas.mask_upscale import (
-                _blockdiag_w2, _flat_w1, masks_upscale, unflatten_masks)
+            from ...ops.pallas.mask_upscale import masks_upscale, unflatten_masks
 
             c4, c8 = self.transformer_dim // 4, self.transformer_dim // 8
             k1, b1 = _ConvTParams(c4, c, name="upscale_deconv1")()
@@ -560,21 +756,8 @@ class MaskDecoder(nn.Module):
                                  k2.astype(self.dtype), b2, hyper_in)
             masks = unflatten_masks(flat, hgrid, wgrid, self.num_mask_tokens)
             # upscaled embedding, flat-matmul XLA path on the shared params
-            dt = self.dtype
-            y1 = keys @ _flat_w1(k1).astype(dt) + jnp.tile(b1, 4).astype(dt)
-            y1 = y1.reshape(-1, hgrid * wgrid * 4, c4)
-            xf = y1.astype(jnp.float32)
-            mu = xf.mean(-1, keepdims=True)
-            var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-            y1 = (((xf - mu) * jax.lax.rsqrt(var + 1e-6)) * lnw + lnb).astype(dt)
-            y1 = gelu(y1).reshape(-1, hgrid * wgrid, 4 * c4)
-            y2 = y1 @ _blockdiag_w2(k2).astype(dt) + jnp.tile(b2, 16).astype(dt)
-            y2 = gelu(y2)
-            # cols (di, dj, ei, ej, c) -> (B, 4H, 4W, C/8)
-            up = y2.reshape(-1, hgrid, wgrid, 2, 2, 2, 2, c8)
-            upscaled = up.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
-                -1, 4 * hgrid, 4 * wgrid, c8
-            )
+            upscaled = _upscaled_from_keys(keys, k1, b1, lnw, lnb, k2, b2,
+                                           hgrid, wgrid, self.dtype)
         else:
             src_out = keys.reshape(keys.shape[0], hgrid, wgrid, c)
             # Upscaling stack (reference mask_decoder.py:53-59).
