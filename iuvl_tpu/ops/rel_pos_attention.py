@@ -117,15 +117,27 @@ def rel_pos_attention(
 
     q, k, v: (B, heads, N, head_dim) with N == h*w. Returns (B, heads, N, d).
     impl: 'xla' (augmented matmuls), 'xla_naive' (materialized bias oracle),
-    'pallas' (fused flash kernel on augmented qk), 'auto' (pallas for
-    global-attention blocks N >= 1024 where it measures ~1.6x faster on
-    v5e; xla for small windows where XLA's batched matmul wins).
+    'pallas' (fused flash kernel on augmented qk), 'window' (fused windowed
+    kernel building the bias in VMEM, ops/pallas/window_attention.py),
+    'auto' (pallas for global-attention blocks N >= 1024 where it measures
+    ~1.6x faster on v5e; the window kernel for square windows on a TPU
+    backend — the augment path's fp32 minor-dim-14 tensors and dim-92
+    concats cost more than the whole attention there; xla otherwise).
     """
     if impl == "xla_naive":
         return _rel_pos_attention_naive(q, k, v, rel_pos_h, rel_pos_w, hw)
     n = q.shape[2]
     if impl == "auto":
-        impl = "pallas" if n >= 1024 else "xla"
+        if n >= 1024:
+            impl = "pallas"
+        elif hw[0] == hw[1] and jax.default_backend() == "tpu":
+            impl = "window"
+        else:
+            impl = "xla"
+    if impl == "window":
+        from .pallas.window_attention import window_rel_attention
+
+        return window_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw)
     q_aug, k_aug = augment_qk_rel_pos(q, k, rel_pos_h, rel_pos_w, hw)
     if impl == "pallas":
         from .pallas.flash_attention import flash_attention

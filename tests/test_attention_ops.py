@@ -247,3 +247,56 @@ def test_mask_decoder_fused_upscale_matches_unfused():
             np.asarray(out[key_]), np.asarray(ref[key_]),
             atol=3e-4, rtol=1e-4, err_msg=key_,
         )
+
+
+def test_window_kernel_interpret_matches_naive():
+    """Fused windowed kernel (in-VMEM bias via static selector matmuls) vs
+    the materialized-bias oracle."""
+    from iuvl_tpu.ops.pallas import window_attention as wa
+
+    q, k, v, rph, rpw, hw = _inputs(h=5, w=5, heads=3, d=16, b=6, seed=11)
+    ref = rel_pos_attention(q, k, v, rph, rpw, hw, impl="xla_naive")
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    wa.pl.pallas_call = interp
+    try:
+        out = rel_pos_attention(q, k, v, rph, rpw, hw, impl="window")
+    finally:
+        wa.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_window_kernel_grad_matches_xla():
+    """custom VJP (bwd = augmented-XLA recompute) vs oracle grads, incl.
+    the rel-pos tables."""
+    from iuvl_tpu.ops.pallas import window_attention as wa
+
+    q, k, v, rph, rpw, hw = _inputs(h=4, w=4, heads=2, d=16, b=4, seed=12)
+
+    def loss(impl):
+        def f(q_, rph_, v_):
+            return rel_pos_attention(
+                q_, k, v_, rph_, rpw, hw, impl=impl).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(q, rph, v)
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    wa.pl.pallas_call = interp
+    try:
+        g_w = loss("window")
+    finally:
+        wa.pl.pallas_call = orig
+    g_ref = loss("xla_naive")
+    for a, b_ in zip(g_w, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
