@@ -446,3 +446,385 @@ def _flash_forward(
     )(n_valid, qf, kf, vf)
 
     return out.reshape(b, h, np_, dv_p)[:, :, :n, :d_v]
+
+
+# --------------------------------------------------------------------- #
+# rel-pos variant: decomposed bias folded into the kernel
+# --------------------------------------------------------------------- #
+# The augmented-qk route (augment_qk_rel_pos) turns the bias into extra
+# contraction columns, but for the SAM global blocks that means a K=192
+# (padded 256) QK matmul where only 64 dims are real — ~4x the needed
+# MXU work, streamed through HBM at the padded width. Here q/k stay 64-d
+# and the bias is added per (q block, k block) as two small matmuls
+#     bias = relh_blk @ eh[:, kblock] + relw_blk @ ew[:, kblock]
+# with relh/relw = per-query rel-pos features (B, H, N, hh) computed in
+# XLA (the same einsums the augment path uses) and eh/ew static one-hot
+# expanders (hh, N). Numerically identical to the augmented contraction
+# (same fp32 accumulation of the same products, reassociated).
+
+
+def _flash_rp_kernel(n_valid_ref, q_ref, k_ref, v_ref, rh_ref, rw_ref,
+                     eh_ref, ew_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+                     *, emit_lse: bool):
+    kb = pl.program_id(2)
+    n_kblocks = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+    s = s + jnp.dot(rh_ref[0], eh_ref[...], preferred_element_type=jnp.float32)
+    s = s + jnp.dot(rw_ref[0], ew_ref[...], preferred_element_type=jnp.float32)
+
+    n_valid = n_valid_ref[0]
+    bk = k.shape[0]
+    key_idx = kb * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_idx < n_valid, s, NEG_INF)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(kb == n_kblocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+        if emit_lse:
+            lse = (m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30)))[:, 0]
+            lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+
+
+def _flash_rp_bwd_dq_kernel(n_valid_ref, q_ref, k_ref, v_ref, rh_ref, rw_ref,
+                            eh_ref, ew_ref, do_ref, lse_ref, delta_ref,
+                            dq_ref, drh_ref, drw_ref, dq_acc, drh_acc,
+                            drw_acc):
+    """dq + drelh + drelw over k blocks (bias grads: ds @ e^T)."""
+    kb = pl.program_id(2)
+    n_kblocks = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+        drh_acc[:] = jnp.zeros_like(drh_acc)
+        drw_acc[:] = jnp.zeros_like(drw_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    eh = eh_ref[...]
+    ew = ew_ref[...]
+    s = s + jnp.dot(rh_ref[0], eh, preferred_element_type=jnp.float32)
+    s = s + jnp.dot(rw_ref[0], ew, preferred_element_type=jnp.float32)
+    n_valid = n_valid_ref[0]
+    bk = k.shape[0]
+    bq = q.shape[0]
+    qb = pl.program_id(1)
+    key_idx = kb * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    q_idx = qb * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    lse = lse_ref[0, 0, :][:, None]
+    valid = (key_idx < n_valid) & (q_idx < n_valid)
+    p = jnp.exp(jnp.where(valid, s - lse, NEG_INF))
+    do = do_ref[0]
+    dp = jnp.dot(do, v_ref[0].T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, 0, :][:, None])
+    dsc = ds.astype(k.dtype)
+    dq_acc[:] += jnp.dot(dsc, k, preferred_element_type=jnp.float32)
+    drh_acc[:] += jnp.dot(dsc, eh.T.astype(dsc.dtype),
+                          preferred_element_type=jnp.float32)
+    drw_acc[:] += jnp.dot(dsc, ew.T.astype(dsc.dtype),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(kb == n_kblocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        drh_ref[0] = drh_acc[:].astype(drh_ref.dtype)
+        drw_ref[0] = drw_acc[:].astype(drw_ref.dtype)
+
+
+def _flash_rp_bwd_dkv_kernel(n_valid_ref, q_ref, k_ref, v_ref, rh_ref,
+                             rw_ref, eh_ref, ew_ref, do_ref, lse_ref,
+                             delta_ref, dk_ref, dv_ref, dk_acc, dv_acc):
+    """dk/dv over q blocks; p recomputed WITH the bias terms."""
+    qb = pl.program_id(2)
+    n_qblocks = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    kb = pl.program_id(1)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    s = s + jnp.dot(rh_ref[0], eh_ref[...], preferred_element_type=jnp.float32)
+    s = s + jnp.dot(rw_ref[0], ew_ref[...], preferred_element_type=jnp.float32)
+    n_valid = n_valid_ref[0]
+    bk = k.shape[0]
+    bq = q.shape[0]
+    key_idx = kb * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    q_idx = qb * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    lse = lse_ref[0, 0, :][:, None]
+    valid = (key_idx < n_valid) & (q_idx < n_valid)
+    p = jnp.exp(jnp.where(valid, s - lse, NEG_INF))
+    do = do_ref[0]
+    dv_acc[:] += jnp.dot(
+        p.astype(do.dtype).T, do, preferred_element_type=jnp.float32
+    )
+    dp = jnp.dot(do, v_ref[0].T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, 0, :][:, None])
+    dk_acc[:] += jnp.dot(
+        ds.astype(q.dtype).T, q, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qb == n_qblocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "return_lse")
+)
+def _flash_rp_forward(q, k, v, relh, relw, eh, ew,
+                      block_q: int = 2048, block_k: int = 1024,
+                      return_lse: bool = False):
+    """q pre-scaled by the caller. relh/relw (B, H, N, hh/ww);
+    eh/ew (hh/ww, N) static one-hot expanders."""
+    b, h, n, d_qk = q.shape
+    d_v = v.shape[-1]
+    hh, ww = relh.shape[-1], relw.shape[-1]
+
+    npow = max(128, 1 << (n - 1).bit_length())
+    block_q = min(block_q, npow)
+    block_k = min(block_k, npow)
+    qp = _pad_to(_pad_to(q, block_q, 2), 128, 3)
+    kp = _pad_to(_pad_to(k, block_k, 2), 128, 3)
+    vp = _pad_to(_pad_to(v, block_k, 2), 128, 3)
+    rhp = _pad_to(relh, block_q, 2)
+    rwp = _pad_to(relw, block_q, 2)
+    ehp = _pad_to(eh, block_k, 1).astype(q.dtype)
+    ewp = _pad_to(ew, block_k, 1).astype(q.dtype)
+    np_, dqk_p = qp.shape[2], qp.shape[3]
+    nk_p, dv_p = vp.shape[2], vp.shape[3]
+
+    qf = qp.reshape(b * h, np_, dqk_p)
+    kf = kp.reshape(b * h, nk_p, dqk_p)
+    vf = vp.reshape(b * h, nk_p, dv_p)
+    rhf = rhp.reshape(b * h, np_, hh)
+    rwf = rwp.reshape(b * h, np_, ww)
+    n_valid = jnp.asarray([n], jnp.int32)
+
+    grid = (b * h, np_ // block_q, nk_p // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, dqk_p), lambda bh, qb, kb, *_: (bh, qb, 0)),
+        pl.BlockSpec((1, block_k, dqk_p), lambda bh, qb, kb, *_: (bh, kb, 0)),
+        pl.BlockSpec((1, block_k, dv_p), lambda bh, qb, kb, *_: (bh, kb, 0)),
+        pl.BlockSpec((1, block_q, hh), lambda bh, qb, kb, *_: (bh, qb, 0)),
+        pl.BlockSpec((1, block_q, ww), lambda bh, qb, kb, *_: (bh, qb, 0)),
+        pl.BlockSpec((hh, block_k), lambda bh, qb, kb, *_: (0, kb)),
+        pl.BlockSpec((ww, block_k), lambda bh, qb, kb, *_: (0, kb)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_q, dv_p), lambda bh, qb, kb, *_: (bh, qb, 0)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, qb, kb, *_: (bh, 0, qb)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b * h, np_, dv_p), v.dtype),
+        jax.ShapeDtypeStruct((b * h, 8, np_), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((block_q, dv_p), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+    ]
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_rp_kernel, emit_lse=return_lse),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # extra bias intermediates push the f32 block transients past
+            # the 16 MB default scoped-vmem stack at block_q=2048
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(n_valid, qf, kf, vf, rhf, rwf, ehp, ewp)
+    o = out.reshape(b, h, np_, dv_p)[:, :, :n, :d_v]
+    if return_lse:
+        return o, lse[:, 0].reshape(b, h, np_)[:, :, :n]
+    return o
+
+
+@jax.custom_vjp
+def flash_attention_relpos(q, k, v, relh, relw, eh, ew):
+    """Flash attention with the decomposed rel-pos bias folded in-kernel.
+
+    q: PRE-SCALED queries (B, H, N, d); relh/relw: per-query rel-pos
+    features (B, H, N, hh/ww) — <q_unscaled, Rh[qh, :]> etc., as built by
+    the augment path; eh/ew: static (hh, N)/(ww, N) one-hot expanders with
+    eh[a, j] = 1[a == row(j)], ew[a, j] = 1[a == col(j)].
+    """
+    return _flash_rp_forward(q, k, v, relh, relw, eh, ew)
+
+
+def _flash_rp_fwd_rule(q, k, v, relh, relw, eh, ew):
+    o, lse = _flash_rp_forward(q, k, v, relh, relw, eh, ew, return_lse=True)
+    return o, (q, k, v, relh, relw, eh, ew, o, lse)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_rp_backward(q, k, v, relh, relw, eh, ew, o, lse, g,
+                       block_q: int = 1024, block_k: int = 1024):
+    b, h, n, d_qk = q.shape
+    d_v = v.shape[-1]
+    hh, ww = relh.shape[-1], relw.shape[-1]
+    npow = max(128, 1 << (n - 1).bit_length())
+    block_q = min(block_q, npow)
+    block_k = min(block_k, npow)
+    qp = _pad_to(_pad_to(q, block_q, 2), 128, 3)
+    kp = _pad_to(_pad_to(k, block_k, 2), 128, 3)
+    vp = _pad_to(_pad_to(v, block_k, 2), 128, 3)
+    gp = _pad_to(_pad_to(g, block_q, 2), 128, 3)
+    op = _pad_to(_pad_to(o, block_q, 2), 128, 3)
+    rhp = _pad_to(relh, block_q, 2)
+    rwp = _pad_to(relw, block_q, 2)
+    ehp = _pad_to(eh, block_k, 1).astype(q.dtype)
+    ewp = _pad_to(ew, block_k, 1).astype(q.dtype)
+    np_, dqk_p = qp.shape[2], qp.shape[3]
+    nk_p, dv_p = vp.shape[2], vp.shape[3]
+
+    qf = qp.reshape(b * h, np_, dqk_p)
+    kf = kp.reshape(b * h, nk_p, dqk_p)
+    vf = vp.reshape(b * h, nk_p, dv_p)
+    gf = gp.reshape(b * h, np_, dv_p)
+    of = op.reshape(b * h, np_, dv_p)
+    rhf = rhp.reshape(b * h, np_, hh)
+    rwf = rwp.reshape(b * h, np_, ww)
+    lsef = _pad_to(lse.reshape(b * h, n), block_q, 1)
+    lsef = jnp.broadcast_to(lsef[:, None, :], (b * h, 8, lsef.shape[-1]))
+    delta = (gf.astype(jnp.float32) * of.astype(jnp.float32)).sum(-1)
+    delta = jnp.broadcast_to(delta[:, None, :], (b * h, 8, delta.shape[-1]))
+    n_valid = jnp.asarray([n], jnp.int32)
+
+    specs_common_q = [
+        pl.BlockSpec((1, block_q, dqk_p), lambda bh, qb, kb, *_: (bh, qb, 0)),
+        pl.BlockSpec((1, block_k, dqk_p), lambda bh, qb, kb, *_: (bh, kb, 0)),
+        pl.BlockSpec((1, block_k, dv_p), lambda bh, qb, kb, *_: (bh, kb, 0)),
+        pl.BlockSpec((1, block_q, hh), lambda bh, qb, kb, *_: (bh, qb, 0)),
+        pl.BlockSpec((1, block_q, ww), lambda bh, qb, kb, *_: (bh, qb, 0)),
+        pl.BlockSpec((hh, block_k), lambda bh, qb, kb, *_: (0, kb)),
+        pl.BlockSpec((ww, block_k), lambda bh, qb, kb, *_: (0, kb)),
+        pl.BlockSpec((1, block_q, dv_p), lambda bh, qb, kb, *_: (bh, qb, 0)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, qb, kb, *_: (bh, 0, qb)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, qb, kb, *_: (bh, 0, qb)),
+    ]
+    dq, drh, drw = pl.pallas_call(
+        _flash_rp_bwd_dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, np_ // block_q, nk_p // block_k),
+            in_specs=specs_common_q,
+            out_specs=[
+                pl.BlockSpec((1, block_q, dqk_p),
+                             lambda bh, qb, kb, *_: (bh, qb, 0)),
+                pl.BlockSpec((1, block_q, hh),
+                             lambda bh, qb, kb, *_: (bh, qb, 0)),
+                pl.BlockSpec((1, block_q, ww),
+                             lambda bh, qb, kb, *_: (bh, qb, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, dqk_p), jnp.float32),
+                pltpu.VMEM((block_q, hh), jnp.float32),
+                pltpu.VMEM((block_q, ww), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, np_, dqk_p), q.dtype),
+            jax.ShapeDtypeStruct((b * h, np_, hh), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, np_, ww), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # extra bias intermediates push the f32 block transients past
+            # the 16 MB default scoped-vmem stack at block_q=2048
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(n_valid, qf, kf, vf, rhf, rwf, ehp, ewp, gf, lsef, delta)
+
+    specs_common_kv = [
+        pl.BlockSpec((1, block_q, dqk_p), lambda bh, kb, qb, *_: (bh, qb, 0)),
+        pl.BlockSpec((1, block_k, dqk_p), lambda bh, kb, qb, *_: (bh, kb, 0)),
+        pl.BlockSpec((1, block_k, dv_p), lambda bh, kb, qb, *_: (bh, kb, 0)),
+        pl.BlockSpec((1, block_q, hh), lambda bh, kb, qb, *_: (bh, qb, 0)),
+        pl.BlockSpec((1, block_q, ww), lambda bh, kb, qb, *_: (bh, qb, 0)),
+        pl.BlockSpec((hh, block_k), lambda bh, kb, qb, *_: (0, kb)),
+        pl.BlockSpec((ww, block_k), lambda bh, kb, qb, *_: (0, kb)),
+        pl.BlockSpec((1, block_q, dv_p), lambda bh, kb, qb, *_: (bh, qb, 0)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, kb, qb, *_: (bh, 0, qb)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, kb, qb, *_: (bh, 0, qb)),
+    ]
+    dk, dv = pl.pallas_call(
+        _flash_rp_bwd_dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, nk_p // block_k, np_ // block_q),
+            in_specs=specs_common_kv,
+            out_specs=[
+                pl.BlockSpec((1, block_k, dqk_p),
+                             lambda bh, kb, qb, *_: (bh, kb, 0)),
+                pl.BlockSpec((1, block_k, dv_p),
+                             lambda bh, kb, qb, *_: (bh, kb, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, dqk_p), jnp.float32),
+                pltpu.VMEM((block_k, dv_p), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nk_p, dqk_p), k.dtype),
+            jax.ShapeDtypeStruct((b * h, nk_p, dv_p), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # extra bias intermediates push the f32 block transients past
+            # the 16 MB default scoped-vmem stack at block_q=2048
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(n_valid, qf, kf, vf, rhf, rwf, ehp, ewp, gf, lsef, delta)
+
+    dq, drh, drw, dk, dv = jax.lax.optimization_barrier(
+        (dq, drh, drw, dk, dv))
+    dq = dq.reshape(b, h, np_, dqk_p)[:, :, :n, :d_qk]
+    dk = dk.reshape(b, h, nk_p, dqk_p)[:, :, :n, :d_qk]
+    dv = dv.reshape(b, h, nk_p, dv_p)[:, :, :n, :d_v]
+    drh = drh.reshape(b, h, np_, hh)[:, :, :n].astype(relh.dtype)
+    drw = drw.reshape(b, h, np_, ww)[:, :, :n].astype(relw.dtype)
+    return dq, dk, dv, drh, drw
+
+
+def _flash_rp_bwd_rule(res, g):
+    q, k, v, relh, relw, eh, ew, o, lse = res
+    dq, dk, dv, drh, drw = _flash_rp_backward(
+        q, k, v, relh, relw, eh, ew, o, lse, g)
+    return dq, dk, dv, drh, drw, jnp.zeros_like(eh), jnp.zeros_like(ew)
+
+
+flash_attention_relpos.defvjp(_flash_rp_fwd_rule, _flash_rp_bwd_rule)

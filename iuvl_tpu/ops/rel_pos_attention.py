@@ -117,8 +117,10 @@ def rel_pos_attention(
 
     q, k, v: (B, heads, N, head_dim) with N == h*w. Returns (B, heads, N, d).
     impl: 'xla' (augmented matmuls), 'xla_naive' (materialized bias oracle),
-    'pallas' (fused flash kernel on augmented qk), 'window' (fused windowed
-    kernel building the bias in VMEM, ops/pallas/window_attention.py),
+    'pallas' (fused flash kernel on augmented qk), 'pallas_rp' (flash with
+    the bias folded in-kernel — measured slower, see the negative-result
+    note below), 'window' (fused windowed kernel building the bias in VMEM,
+    ops/pallas/window_attention.py),
     'auto' (pallas for global-attention blocks N >= 1024 where it measures
     ~1.6x faster on v5e; the window kernel for square windows on a TPU
     backend — the augment path's fp32 minor-dim-14 tensors and dim-92
@@ -138,6 +140,35 @@ def rel_pos_attention(
         from .pallas.window_attention import window_rel_attention
 
         return window_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw)
+    if impl == "pallas_rp":
+        # NEGATIVE RESULT (v5e, 2026-08): decomposed bias folded INTO the
+        # flash kernel — q/k stay head_dim wide and the bias is two small
+        # rel @ one-hot-expander matmuls per (q, k) block. Measured WORSE
+        # than the augmented route in the full encode (14.7/15.0 ms vs
+        # 14.1/14.0 ms interleaved A/B): the bias contraction over h+w=128
+        # dims costs exactly what augmentation folds into its single QK
+        # matmul — augmentation only pays the 192->256 lane pad, while this
+        # variant pays the same contraction in worse-shaped K=64 matmuls
+        # plus per-block f32 adds. Kept selectable + parity/grad-tested
+        # (tests/test_attention_ops.py::test_relpos_flash_*).
+        from .pallas.flash_attention import flash_attention_relpos
+
+        h, w = hw
+        b, heads, n, d = q.shape
+        Rh = rel_pos_table(h, h, rel_pos_h.astype(jnp.float32))
+        Rw = rel_pos_table(w, w, rel_pos_w.astype(jnp.float32))
+        r_q = q.astype(jnp.float32).reshape(b, heads, h, w, d)
+        relh = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh).reshape(
+            b, heads, n, h).astype(q.dtype)
+        relw = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(
+            b, heads, n, w).astype(q.dtype)
+        col = np.arange(n)
+        eh = jnp.asarray((np.arange(h)[:, None] == col[None] // w)
+                         .astype(np.float32))
+        ew = jnp.asarray((np.arange(w)[:, None] == col[None] % w)
+                         .astype(np.float32))
+        return flash_attention_relpos(
+            q * (d ** -0.5), k, v, relh, relw, eh, ew)
     q_aug, k_aug = augment_qk_rel_pos(q, k, rel_pos_h, rel_pos_w, hw)
     if impl == "pallas":
         from .pallas.flash_attention import flash_attention

@@ -300,3 +300,58 @@ def test_window_kernel_grad_matches_xla():
     g_ref = loss("xla_naive")
     for a, b_ in zip(g_w, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_relpos_flash_interpret_matches_naive():
+    """Bias-folded flash kernel (impl='pallas' path) vs the materialized
+    oracle — the rel @ one-hot-expander block matmuls must reproduce the
+    decomposed bias exactly."""
+    from iuvl_tpu.ops.pallas import flash_attention as fa
+
+    q, k, v, rph, rpw, hw = _inputs(h=6, w=5, heads=2, d=16, b=2, seed=21)
+    ref = rel_pos_attention(q, k, v, rph, rpw, hw, impl="xla_naive")
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    fa.pl.pallas_call = interp
+    try:
+        out = rel_pos_attention(q, k, v, rph, rpw, hw, impl="pallas_rp")
+    finally:
+        fa.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_relpos_flash_grad_matches_naive():
+    """Fused backward (dq/dk/dv + in-kernel drelh/drelw accumulation) vs
+    oracle grads including the rel-pos tables."""
+    from iuvl_tpu.ops.pallas import flash_attention as fa
+
+    q, k, v, rph, rpw, hw = _inputs(h=4, w=4, heads=2, d=16, b=2, seed=22)
+
+    def loss(impl):
+        def f(q_, k_, v_, rph_, rpw_):
+            return rel_pos_attention(
+                q_, k_, v_, rph_, rpw_, hw, impl=impl).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    fa.pl.pallas_call = interp
+    try:
+        g_p = loss("pallas_rp")
+    finally:
+        fa.pl.pallas_call = orig
+    g_ref = loss("xla_naive")
+    for a, b_ in zip(g_p, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-4)
