@@ -103,25 +103,32 @@ def masks_upscale_xla(keys, k1, b1, lnw, lnb, k2, b2, hyper):
     y2 = y1 @ w2 + jnp.tile(b2, 16).astype(dt)
     y2 = jax.nn.gelu(y2, approximate=(dt == jnp.bfloat16))
     hbd = _hyper_matrix(hyper.astype(dt), c8)
-    return jnp.einsum("bnr,brk->bnk", y2, hbd,
-                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("bnr,brk->bnk", y2, hbd,
+                     preferred_element_type=jnp.float32)
+    # Mask logits are STORED in the working dtype: fp32 keeps the parity
+    # path exact; in bf16 serving the flat logits tensor (B, HW, M*16) is
+    # the largest decode write (268 MB/chunk fp32 at 1024^2 x 256 prompts)
+    # and bf16 rounding (~0.4% rel) is far below the 0-threshold margin.
+    return out.astype(dt if dt == jnp.bfloat16 else jnp.float32)
 
 
 def _upscale_kernel(x_ref, w1_ref, b1_ref, lnw_ref, lnb_ref, msum_ref,
-                    w2_ref, b2_ref, hbd_ref, o_ref, *, c4: int):
+                    w2_ref, b2_ref, hbd_ref, o_ref, *, c4: int, bp: int):
     f32 = jnp.float32
-    x = x_ref[0]
-    dt = x.dtype
-    approx = dt == jnp.bfloat16
-    y1 = jnp.dot(x, w1_ref[...], preferred_element_type=f32).astype(dt)
-    y1 = y1 + b1_ref[...]
-    y1 = _ln2d_grouped(y1, msum_ref[...], lnw_ref[...].astype(f32),
-                       lnb_ref[...].astype(f32), c4)
-    y1 = jax.nn.gelu(y1.astype(dt), approximate=approx)
-    y2 = jnp.dot(y1, w2_ref[...], preferred_element_type=f32).astype(dt)
-    y2 = y2 + b2_ref[...]
-    y2 = jax.nn.gelu(y2, approximate=approx)
-    o_ref[0] = jnp.dot(y2, hbd_ref[0], preferred_element_type=f32)
+    for j in range(bp):
+        x = x_ref[j]
+        dt = x.dtype
+        approx = dt == jnp.bfloat16
+        y1 = jnp.dot(x, w1_ref[...], preferred_element_type=f32).astype(dt)
+        y1 = y1 + b1_ref[...]
+        y1 = _ln2d_grouped(y1, msum_ref[...], lnw_ref[...].astype(f32),
+                           lnb_ref[...].astype(f32), c4)
+        y1 = jax.nn.gelu(y1.astype(dt), approximate=approx)
+        y2 = jnp.dot(y1, w2_ref[...], preferred_element_type=f32).astype(dt)
+        y2 = y2 + b2_ref[...]
+        y2 = jax.nn.gelu(y2, approximate=approx)
+        o_ref[j] = jnp.dot(y2, hbd_ref[j],
+                           preferred_element_type=f32).astype(o_ref.dtype)
 
 
 def _upscale_forward(keys, k1, b1, lnw, lnb, k2, b2, hyper):
@@ -139,11 +146,16 @@ def _upscale_forward(keys, k1, b1, lnw, lnb, k2, b2, hyper):
     hbd = _hyper_matrix(hyper.astype(dt), c8)
     block = min(2048, n)
     assert n % block == 0, (n, block)
+    # Prompt blocking measured NEGATIVE here (v5e, 256-prompt chunk: bp=4
+    # regresses the full decode 13.4 -> 14.4 ms despite 4x fewer grid
+    # steps — the larger live blocks starve the (bb, nb) pipeline; this
+    # kernel is MXU-dense per step, unlike the two-way kernels). Keep 1.
+    bp = 1
     out = pl.pallas_call(
-        functools.partial(_upscale_kernel, c4=c4),
-        grid=(b, n // block),
+        functools.partial(_upscale_kernel, c4=c4, bp=bp),
+        grid=(b // bp, n // block),
         in_specs=[
-            pl.BlockSpec((1, block, c), lambda bb, nb: (bb, nb, 0)),
+            pl.BlockSpec((bp, block, c), lambda bb, nb: (bb, nb, 0)),
             pl.BlockSpec(w1.shape, lambda bb, nb: (0, 0)),
             pl.BlockSpec(b1f.shape, lambda bb, nb: (0, 0)),
             pl.BlockSpec(lnwf.shape, lambda bb, nb: (0, 0)),
@@ -151,12 +163,15 @@ def _upscale_forward(keys, k1, b1, lnw, lnb, k2, b2, hyper):
             pl.BlockSpec(msum.shape, lambda bb, nb: (0, 0)),
             pl.BlockSpec(w2.shape, lambda bb, nb: (0, 0)),
             pl.BlockSpec(b2f.shape, lambda bb, nb: (0, 0)),
-            pl.BlockSpec((1, *hbd.shape[1:]), lambda bb, nb: (bb, 0, 0)),
+            pl.BlockSpec((bp, *hbd.shape[1:]), lambda bb, nb: (bb, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block, m * 16), lambda bb, nb: (bb, nb, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, m * 16), jnp.float32),
+        out_specs=pl.BlockSpec((bp, block, m * 16),
+                               lambda bb, nb: (bb, nb, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n, m * 16), dt if dt == jnp.bfloat16 else jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(keys, w1, b1f, lnwf, lnbf, msum, w2, b2f, hbd)
     return out

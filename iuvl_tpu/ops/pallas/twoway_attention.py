@@ -74,22 +74,44 @@ def i2t_block_step_xla(keys, pe_wq, kbd, vbd, wq, bq, wo, bo, ln_w, ln_b,
 
 def _i2t_kernel(x_ref, pe_ref, kbd_ref, vbd_ref, wq_ref, bq_ref, wo_ref,
                 bo_ref, lnw_ref, lnb_ref, g_ref, smask_ref, o_ref, *,
-                scale: float):
-    x = x_ref[0]  # (bq, C)
+                scale: float, bp: int, shared_keys: bool):
     f32 = jnp.float32
-    qp = (jnp.dot(x, wq_ref[...], preferred_element_type=f32).astype(x.dtype)
-          + pe_ref[0] + bq_ref[...])
-    s = jnp.dot(qp, kbd_ref[0].T, preferred_element_type=f32)
-    s = s * scale + smask_ref[...]
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.dot(e, g_ref[...], preferred_element_type=f32)
-    p = (e / denom).astype(x.dtype)
-    att = jnp.dot(p, vbd_ref[0], preferred_element_type=f32).astype(x.dtype)
-    out = jnp.dot(att, wo_ref[...], preferred_element_type=f32).astype(x.dtype)
-    out = out + bo_ref[...]
-    y = x + out
-    o_ref[0] = _ln(y, lnw_ref[...], lnb_ref[...]).astype(o_ref.dtype)
+    g = g_ref[...]
+    smask = smask_ref[...]
+    if shared_keys:
+        # Batch-1 keys (one-encode/many-decode): the q-projection is
+        # prompt-independent — compute it once per keys block, not per prompt.
+        x_sh = x_ref[0]
+        qp_sh = (jnp.dot(x_sh, wq_ref[...], preferred_element_type=f32)
+                 .astype(x_sh.dtype) + pe_ref[0] + bq_ref[...])
+    for j in range(bp):
+        if shared_keys:
+            x, qp = x_sh, qp_sh
+        else:
+            x = x_ref[j]  # (bq, C)
+            qp = (jnp.dot(x, wq_ref[...], preferred_element_type=f32)
+                  .astype(x.dtype) + pe_ref[0] + bq_ref[...])
+        s = jnp.dot(qp, kbd_ref[j].T, preferred_element_type=f32)
+        s = s * scale + smask
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.dot(e, g, preferred_element_type=f32)
+        p = (e / denom).astype(x.dtype)
+        att = jnp.dot(p, vbd_ref[j], preferred_element_type=f32).astype(x.dtype)
+        out = jnp.dot(att, wo_ref[...], preferred_element_type=f32).astype(x.dtype)
+        out = out + bo_ref[...]
+        y = x + out
+        o_ref[j] = _ln(y, lnw_ref[...], lnb_ref[...]).astype(o_ref.dtype)
+
+
+def _prompt_block(b: int, budget: int) -> int:
+    """Largest divisor of b within the VMEM budget — prompts per grid step.
+    One prompt per step pays the ~3-5 us Pallas grid-step cost 256x per
+    kernel call at the serving chunk size; blocking amortizes it."""
+    for cand in range(budget, 1, -1):
+        if b % cand == 0:
+            return cand
+    return 1
 
 
 def _i2t_forward(keys, pe_wq, kbd, vbd, wq, bq, wo, bo, ln_w, ln_b,
@@ -98,17 +120,24 @@ def _i2t_forward(keys, pe_wq, kbd, vbd, wq, bq, wo, bo, ln_w, ln_b,
     b, r, i = kbd.shape
     block_q = min(4096, n)
     assert n % block_q == 0, (n, block_q)
-    kidx = (lambda bb, qb: (0, qb, 0)) if bk_keys == 1 else (
-        lambda bb, qb: (bb, qb, 0))
-    grid = (b, n // block_q)
+    shared = bk_keys == 1
+    # VMEM per step ~= (bp_in + bp_out) * block_q * c * 2B, double-buffered.
+    # Measured (v5e, 256-prompt chunk): bp=8 (either case) regresses —
+    # 64 MB of live blocks starves prefetch overlap (keys-side 6.64 ->
+    # 7.06 ms); bp=16 shared OOMs the 80 MB scoped limit. 8/4 is the knee.
+    bp = _prompt_block(b, 8 if shared else 4)
+    kspec = (pl.BlockSpec((1, block_q, c), lambda bb, qb: (0, qb, 0))
+             if shared else
+             pl.BlockSpec((bp, block_q, c), lambda bb, qb: (bb, qb, 0)))
+    grid = (b // bp, n // block_q)
     out = pl.pallas_call(
-        functools.partial(_i2t_kernel, scale=scale),
+        functools.partial(_i2t_kernel, scale=scale, bp=bp, shared_keys=shared),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, c), kidx),
+            kspec,
             pl.BlockSpec((1, block_q, i), lambda bb, qb: (0, qb, 0)),
-            pl.BlockSpec((1, r, i), lambda bb, qb: (bb, 0, 0)),
-            pl.BlockSpec((1, r, i), lambda bb, qb: (bb, 0, 0)),
+            pl.BlockSpec((bp, r, i), lambda bb, qb: (bb, 0, 0)),
+            pl.BlockSpec((bp, r, i), lambda bb, qb: (bb, 0, 0)),
             pl.BlockSpec((c, i), lambda bb, qb: (0, 0)),
             pl.BlockSpec((1, i), lambda bb, qb: (0, 0)),
             pl.BlockSpec((i, c), lambda bb, qb: (0, 0)),
@@ -118,10 +147,11 @@ def _i2t_forward(keys, pe_wq, kbd, vbd, wq, bq, wo, bo, ln_w, ln_b,
             pl.BlockSpec((r, r), lambda bb, qb: (0, 0)),
             pl.BlockSpec((1, r), lambda bb, qb: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, c), lambda bb, qb: (bb, qb, 0)),
+        out_specs=pl.BlockSpec((bp, block_q, c), lambda bb, qb: (bb, qb, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, c), keys.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=80 * 1024 * 1024,
         ),
     )(keys, pe_wq, kbd, vbd, wq, bq.reshape(1, -1), wo, bo.reshape(1, -1),
       ln_w.reshape(1, -1), ln_b.reshape(1, -1),
@@ -183,7 +213,8 @@ def t2i_stream_xla(qbd, keys, pe_wk, wk, bk_, wv, bv):
 
 
 def _t2i_kernel(qbd_ref, x_ref, pe_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-                o_ref, acc_ref, m_ref, l_ref):
+                o_ref, acc_ref, m_ref, l_ref, *, bp: int, r: int,
+                shared_keys: bool):
     kb = pl.program_id(1)
     n_kblocks = pl.num_programs(1)
 
@@ -193,28 +224,43 @@ def _t2i_kernel(qbd_ref, x_ref, pe_ref, wk_ref, bk_ref, wv_ref, bv_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[0]  # (bk, C)
     f32 = jnp.float32
-    kp = (jnp.dot(x, wk_ref[...], preferred_element_type=f32).astype(x.dtype)
-          + pe_ref[0] + bk_ref[...])
-    vp = jnp.dot(x, wv_ref[...], preferred_element_type=f32).astype(x.dtype)
-    vp = vp + bv_ref[...]
-    s = jnp.dot(qbd_ref[0], kp.T, preferred_element_type=f32)
+    if shared_keys:
+        # Batch-1 keys: k/v projections are prompt-independent — once per
+        # keys block, shared by every prompt in this step.
+        x = x_ref[0]  # (bk, C)
+        kp = (jnp.dot(x, wk_ref[...], preferred_element_type=f32)
+              .astype(x.dtype) + pe_ref[0] + bk_ref[...])
+        vp = jnp.dot(x, wv_ref[...], preferred_element_type=f32).astype(x.dtype)
+        vp = vp + bv_ref[...]
+    for j in range(bp):
+        if not shared_keys:
+            x = x_ref[j]
+            kp = (jnp.dot(x, wk_ref[...], preferred_element_type=f32)
+                  .astype(x.dtype) + pe_ref[0] + bk_ref[...])
+            vp = jnp.dot(x, wv_ref[...], preferred_element_type=f32
+                         ).astype(x.dtype)
+            vp = vp + bv_ref[...]
+        s = jnp.dot(qbd_ref[j], kp.T, preferred_element_type=f32)
 
-    m_prev = m_ref[:]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p.astype(vp.dtype), vp, preferred_element_type=jnp.float32
-    )
-    m_ref[:] = m_new
+        sl = slice(j * r, (j + 1) * r)
+        m_prev = m_ref[sl]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[sl] = alpha * l_ref[sl] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[sl] = acc_ref[sl] * alpha + jnp.dot(
+            p.astype(vp.dtype), vp, preferred_element_type=jnp.float32
+        )
+        m_ref[sl] = m_new
 
     @pl.when(kb == n_kblocks - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+        for j in range(bp):
+            o_ref[j] = (acc_ref[j * r:(j + 1) * r]
+                        / jnp.maximum(l_ref[j * r:(j + 1) * r], 1e-30)
+                        ).astype(o_ref.dtype)
 
 
 def _t2i_forward(qbd, keys, pe_wk, wk, bk_, wv, bv):
@@ -222,30 +268,34 @@ def _t2i_forward(qbd, keys, pe_wk, wk, bk_, wv, bv):
     bk_keys, n, c = keys.shape
     block_k = min(4096, n)
     assert n % block_k == 0, (n, block_k)
-    kidx = (lambda bb, kb: (0, kb, 0)) if bk_keys == 1 else (
-        lambda bb, kb: (bb, kb, 0))
-    grid = (b, n // block_k)
+    shared = bk_keys == 1
+    bp = _prompt_block(b, 16 if shared else 4)
+    kspec = (pl.BlockSpec((1, block_k, c), lambda bb, kb: (0, kb, 0))
+             if shared else
+             pl.BlockSpec((bp, block_k, c), lambda bb, kb: (bb, kb, 0)))
+    grid = (b // bp, n // block_k)
     out = pl.pallas_call(
-        _t2i_kernel,
+        functools.partial(_t2i_kernel, bp=bp, r=r, shared_keys=shared),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, r, i), lambda bb, kb: (bb, 0, 0)),
-            pl.BlockSpec((1, block_k, c), kidx),
+            pl.BlockSpec((bp, r, i), lambda bb, kb: (bb, 0, 0)),
+            kspec,
             pl.BlockSpec((1, block_k, i), lambda bb, kb: (0, kb, 0)),
             pl.BlockSpec((c, i), lambda bb, kb: (0, 0)),
             pl.BlockSpec((1, i), lambda bb, kb: (0, 0)),
             pl.BlockSpec((c, i), lambda bb, kb: (0, 0)),
             pl.BlockSpec((1, i), lambda bb, kb: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, r, i), lambda bb, kb: (bb, 0, 0)),
+        out_specs=pl.BlockSpec((bp, r, i), lambda bb, kb: (bb, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, r, i), keys.dtype),
         scratch_shapes=[
-            pltpu.VMEM((r, i), jnp.float32),
-            pltpu.VMEM((r, 1), jnp.float32),
-            pltpu.VMEM((r, 1), jnp.float32),
+            pltpu.VMEM((bp * r, i), jnp.float32),
+            pltpu.VMEM((bp * r, 1), jnp.float32),
+            pltpu.VMEM((bp * r, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=80 * 1024 * 1024,
         ),
     )(qbd, keys, pe_wk, wk, bk_.reshape(1, -1), wv, bv.reshape(1, -1))
     return out
