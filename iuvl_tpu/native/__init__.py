@@ -23,6 +23,10 @@ def _load():
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib.mask_nms_bits  # newest symbol: stale .so -> rebuild needed
+    except AttributeError:
+        return None
     lib.resize_bilinear_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -31,6 +35,15 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p,
+    ]
+    lib.mask_nms_bits.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_void_p,
+    ]
+    lib.mask_nms_bits.restype = ctypes.c_int64
+    lib.masks_to_rle_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
     ]
     lib.native_num_threads.restype = ctypes.c_int64
     _lib = lib
@@ -90,4 +103,67 @@ def resize_pad_normalize(
         image.ctypes.data, h, w, c, out.ctypes.data, size,
         mean.ctypes.data, std.ctypes.data, scratch.ctypes.data,
     )
+    return out
+
+
+def mask_nms_bits(masks: np.ndarray, order: np.ndarray,
+                  iou_thresh: float) -> np.ndarray | None:
+    """Greedy mask NMS via packed-bitset popcount IoU. masks (N, H, W)
+    bool-ish, order (N,) score-descending indices. Returns kept indices, or
+    None when the native library isn't built (caller uses the numpy path).
+    Bit packing order is irrelevant — only AND/popcount is computed."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(masks)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    flat = masks.reshape(n, -1)
+    if flat.dtype != bool and flat.dtype != np.uint8:
+        flat = flat != 0
+    packed = np.packbits(flat, axis=1)  # (n, ceil(hw/8)) uint8
+    pad = (-packed.shape[1]) % 8
+    if pad:
+        packed = np.pad(packed, ((0, 0), (0, pad)))
+    bits = np.ascontiguousarray(packed).view(np.uint64)
+    order = np.ascontiguousarray(order, np.int64)
+    kept = np.empty(n, np.int64)
+    k = lib.mask_nms_bits(
+        bits.ctypes.data, n, bits.shape[1], order.ctypes.data,
+        float(iou_thresh), kept.ctypes.data,
+    )
+    return kept[:k].copy()
+
+
+def masks_to_rle_batch(masks: np.ndarray, cap: int = 0) -> list[dict] | None:
+    """Batched uncompressed COCO RLE (column-major). masks (N, H, W).
+    Returns a list of {"size": [h, w], "counts": [...]} dicts, or None when
+    the native library isn't built. Masks whose run count exceeds the cap
+    fall back to the numpy encoder per mask."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, h, w = masks.shape
+    if n == 0:
+        return []
+    if cap <= 0:
+        cap = max(1024, h * w // 16)
+    if masks.dtype == bool:  # same memory layout; the cast copy is slow
+        m = np.ascontiguousarray(masks).view(np.uint8)
+    else:
+        m = np.ascontiguousarray(masks, np.uint8)
+    counts = np.empty((n, cap), np.int32)
+    ncounts = np.empty(n, np.int64)
+    lib.masks_to_rle_batch(
+        m.ctypes.data, n, h, w, counts.ctypes.data, cap, ncounts.ctypes.data
+    )
+    out = []
+    for i in range(n):
+        if ncounts[i] < 0:  # cap overflow: numpy fallback for this mask
+            from ..inference.amg import mask_to_rle
+
+            out.append(mask_to_rle(masks[i]))
+        else:
+            out.append({"size": [h, w],
+                        "counts": counts[i, : ncounts[i]].tolist()})
     return out

@@ -54,3 +54,61 @@ def test_resize_pad_normalize_shape(native_lib):
     # bottom padding region normalizes zeros
     assert np.allclose(out[100:], (0 - 123.675) / 58.395, atol=1e-4) is False
     assert np.isfinite(out).all()
+
+
+def test_mask_nms_bits_matches_numpy(native_lib):
+    from iuvl_tpu.inference import amg
+
+    rs = np.random.RandomState(3)
+    n, h, w = 60, 37, 41  # odd sizes: exercises bit-pack padding
+    masks = np.zeros((n, h, w), bool)
+    for i in range(n):
+        # overlapping blobs so NMS actually suppresses
+        cy, cx = rs.randint(0, h), rs.randint(0, w)
+        r = rs.randint(3, 12)
+        yy, xx = np.mgrid[:h, :w]
+        masks[i] = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+    masks[5] = False  # zero-area mask must be skipped
+    scores = rs.rand(n).astype(np.float32)
+    order = np.argsort(-scores)
+
+    kept_native = native_lib.mask_nms_bits(masks, order, 0.5)
+    assert kept_native is not None
+
+    # numpy oracle (the amg.mask_nms fallback body)
+    flat = masks.reshape(n, -1).astype(np.float64)
+    areas = flat.sum(-1)
+    kept, suppressed = [], np.zeros(n, bool)
+    for i in order:
+        if suppressed[i] or areas[i] == 0:
+            continue
+        kept.append(int(i))
+        inter = flat[i] @ flat.T
+        union = areas[i] + areas - inter
+        iou = inter / np.maximum(union, 1)
+        suppressed |= iou > 0.5
+        suppressed[i] = True
+    np.testing.assert_array_equal(kept_native, np.asarray(kept, np.int64))
+
+
+def test_masks_to_rle_batch_matches_numpy(native_lib):
+    from iuvl_tpu.inference.amg import mask_to_rle, rle_to_mask
+
+    rs = np.random.RandomState(4)
+    masks = rs.rand(7, 23, 31) > 0.6
+    masks[0] = False   # all-zero
+    masks[1] = True    # all-one
+    rles = native_lib.masks_to_rle_batch(masks)
+    assert rles is not None
+    for m, rle in zip(masks, rles):
+        assert rle == mask_to_rle(m)
+        np.testing.assert_array_equal(rle_to_mask(rle), m)
+
+
+def test_masks_to_rle_batch_cap_fallback(native_lib):
+    from iuvl_tpu.inference.amg import mask_to_rle
+
+    rs = np.random.RandomState(5)
+    masks = rs.rand(3, 16, 16) > 0.5  # noisy: many runs
+    rles = native_lib.masks_to_rle_batch(masks, cap=4)  # force overflow
+    assert rles == [mask_to_rle(m) for m in masks]
