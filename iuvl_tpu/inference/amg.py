@@ -64,6 +64,54 @@ def rle_to_mask(rle: dict) -> np.ndarray:
     return flat.reshape(w, h).T
 
 
+def coco_encode_rle(rle: dict) -> dict:
+    """Compressed COCO RLE string (reference amg.py:294 coco_encode_rle via
+    pycocotools; that C codec isn't available here, so this reimplements
+    the public format: per-count delta vs two back, LEB128-style 5-bit
+    groups with a continuation bit, chars offset by 48)."""
+    counts = rle["counts"]
+    out = []
+    for i, c in enumerate(counts):
+        x = int(c) - (int(counts[i - 2]) if i > 2 else 0)
+        more = True
+        while more:
+            c5 = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c5 & 0x10) else (x != 0)
+            if more:
+                c5 |= 0x20
+            out.append(chr(c5 + 48))
+    return {"size": list(rle["size"]), "counts": "".join(out)}
+
+
+def coco_decode_rle(rle: dict) -> dict:
+    """Inverse of coco_encode_rle -> uncompressed counts."""
+    s = rle["counts"]
+    counts: list[int] = []
+    p = 0
+    while p < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[p]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            p += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return {"size": list(rle["size"]), "counts": counts}
+
+
+def area_from_rle(rle: dict) -> int:
+    """Mask area from uncompressed RLE (reference amg.py:152)."""
+    return int(sum(rle["counts"][1::2]))
+
+
 def masks_to_rles(masks: np.ndarray) -> list[dict]:
     """Batched mask_to_rle: OpenMP C++ core when built
     (iuvl_tpu/native, ≙ the reference's pycocotools C codec), numpy
@@ -184,9 +232,10 @@ def generate_masks(
     (layer i: (2^i)^2 overlapping crops, per-layer downscaled grids) whose
     masks are up-pasted into full-image space before the global NMS.
     Returns dict(masks (K, S/4, S/4) bool, scores (K,));
-    ``output_mode="uncompressed_rle"`` (reference SamAutomaticMaskGenerator
-    output_mode) adds per-mask COCO RLE records under "rles" via the
-    batched native codec."""
+    ``output_mode`` "uncompressed_rle" / "coco_rle" (reference
+    SamAutomaticMaskGenerator output modes) adds per-mask COCO RLE records
+    under "rles" via the batched native codec (compressed-string form for
+    coco_rle)."""
     s = image.shape[1]
     ms = s // 4  # SAM mask logits resolution
     grids = build_all_layer_point_grids(points_per_side, crop_n_layers, 2)
@@ -240,7 +289,7 @@ def generate_masks(
     if not masks_all:
         empty = np.zeros((0, ms, ms), bool)
         out = {"masks": empty, "scores": np.zeros(0, np.float32)}
-        if output_mode == "uncompressed_rle":
+        if output_mode in ("uncompressed_rle", "coco_rle"):
             out["rles"] = []
         return out
     masks = np.concatenate(masks_all)
@@ -249,4 +298,6 @@ def generate_masks(
     out = {"masks": masks[kept], "scores": scores[kept]}
     if output_mode == "uncompressed_rle":
         out["rles"] = masks_to_rles(out["masks"])
+    elif output_mode == "coco_rle":
+        out["rles"] = [coco_encode_rle(r) for r in masks_to_rles(out["masks"])]
     return out

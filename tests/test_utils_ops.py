@@ -189,3 +189,32 @@ def test_generate_masks_multicrop():
     assert out["masks"].shape[1:] == (16, 16)
     assert len(out["masks"]) == len(out["scores"])
     assert len(out["masks"]) > 0
+
+
+def test_coco_rle_string_roundtrip():
+    import numpy as np
+    from iuvl_tpu.inference.amg import (
+        area_from_rle, coco_decode_rle, coco_encode_rle, mask_to_rle,
+        rle_to_mask,
+    )
+
+    rs = np.random.RandomState(7)
+    cases = [
+        rs.rand(23, 31) > 0.5,            # noisy: many short runs
+        np.zeros((16, 16), bool),         # all background
+        np.ones((16, 16), bool),          # all foreground
+        rs.rand(64, 64) > 0.98,           # sparse: long zero runs
+    ]
+    m = np.zeros((40, 40), bool)
+    m[5:30, 8:33] = True                  # one big run block
+    cases.append(m)
+    for mask in cases:
+        rle = mask_to_rle(mask)
+        enc = coco_encode_rle(rle)
+        assert isinstance(enc["counts"], str)
+        # chars stay in the printable 48..111 window (json-serializable)
+        assert all(48 <= ord(c) <= 111 for c in enc["counts"])
+        dec = coco_decode_rle(enc)
+        assert dec == rle
+        np.testing.assert_array_equal(rle_to_mask(dec), mask)
+        assert area_from_rle(rle) == int(mask.sum())
