@@ -112,6 +112,32 @@ def area_from_rle(rle: dict) -> int:
     return int(sum(rle["counts"][1::2]))
 
 
+def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
+    """XYXY boxes around (N, H, W) bool masks (reference amg.py
+    batched_mask_to_box semantics: zeros for empty masks)."""
+    n = len(masks)
+    boxes = np.zeros((n, 4), np.float32)
+    if n == 0:
+        return boxes
+    rows = masks.any(2)  # (N, H)
+    cols = masks.any(1)  # (N, W)
+    nonempty = rows.any(1)
+    h, w = masks.shape[1:]
+    y0 = rows.argmax(1)
+    y1 = h - 1 - rows[:, ::-1].argmax(1)
+    x0 = cols.argmax(1)
+    x1 = w - 1 - cols[:, ::-1].argmax(1)
+    boxes[nonempty] = np.stack(
+        [x0, y0, x1 + 1, y1 + 1], -1
+    )[nonempty].astype(np.float32)
+    return boxes
+
+
+def box_xyxy_to_xywh(box):
+    x0, y0, x1, y1 = box
+    return [float(x0), float(y0), float(x1 - x0), float(y1 - y0)]
+
+
 def masks_to_rles(masks: np.ndarray) -> list[dict]:
     """Batched mask_to_rle: OpenMP C++ core when built
     (iuvl_tpu/native, ≙ the reference's pycocotools C codec), numpy
@@ -214,9 +240,9 @@ def _decode_grid(model, params, image, grid, batch, pred_iou_thresh,
     logits = np.concatenate(all_logits)
     iou_pred = np.concatenate(all_iou)
 
-    keep = iou_pred > pred_iou_thresh
-    keep &= stability_score(logits) > stability_thresh
-    return logits[keep], iou_pred[keep]
+    stab = stability_score(logits)
+    keep = (iou_pred > pred_iou_thresh) & (stab > stability_thresh)
+    return logits[keep], iou_pred[keep], stab[keep], np.asarray(grid)[keep]
 
 
 def generate_masks(
@@ -244,6 +270,7 @@ def generate_masks(
     )
 
     masks_all, scores_all = [], []
+    stab_all, points_all, cropbox_all = [], [], []
     for box, layer in zip(crop_boxes, layer_idxs):
         x0, y0, x1, y1 = box
         cw, ch = x1 - x0, y1 - y0
@@ -260,12 +287,19 @@ def generate_masks(
                 padded = np.zeros((1, s, s, 3), np.float32)
                 padded[0, : crop_img.shape[1], : crop_img.shape[2]] = crop_img[0]
                 crop_img = padded
-        logits, scores = _decode_grid(
+        logits, scores, stab, kept_pts = _decode_grid(
             model, params, crop_img, grid, batch, pred_iou_thresh,
             stability_thresh,
         )
         if len(logits) == 0:
             continue
+        # Grid points back to full-image space: the crop (ch, cw) was
+        # resized longest-side to s, so divide by that scale and offset.
+        scale = s / max(ch, cw) if layer > 0 else 1.0
+        points_all.append(kept_pts / scale + np.asarray([x0, y0]))
+        cropbox_all.append(np.tile(np.asarray(box, np.float32),
+                                   (len(logits), 1)))
+        stab_all.append(stab)
         m = logits > 0
         if layer > 0:
             # Un-crop: resize crop masks to the crop's footprint at the
@@ -288,7 +322,8 @@ def generate_masks(
 
     if not masks_all:
         empty = np.zeros((0, ms, ms), bool)
-        out = {"masks": empty, "scores": np.zeros(0, np.float32)}
+        out = {"masks": empty, "scores": np.zeros(0, np.float32),
+               "records": []}
         if output_mode in ("uncompressed_rle", "coco_rle"):
             out["rles"] = []
         return out
@@ -296,8 +331,31 @@ def generate_masks(
     scores = np.concatenate(scores_all)
     kept = mask_nms(masks, scores, nms_thresh)
     out = {"masks": masks[kept], "scores": scores[kept]}
+    rles = None
     if output_mode == "uncompressed_rle":
-        out["rles"] = masks_to_rles(out["masks"])
+        rles = masks_to_rles(out["masks"])
     elif output_mode == "coco_rle":
-        out["rles"] = [coco_encode_rle(r) for r in masks_to_rles(out["masks"])]
+        rles = [coco_encode_rle(r) for r in masks_to_rles(out["masks"])]
+    if rles is not None:
+        out["rles"] = rles
+    # Per-mask records in the reference SamAutomaticMaskGenerator.generate
+    # layout (amg.py: segmentation/area/bbox/predicted_iou/point_coords/
+    # stability_score/crop_box). bbox/point_coords are in full-image pixel
+    # space (masks live at S/4, hence the *4).
+    stabs = np.concatenate(stab_all)[kept]
+    points = np.concatenate(points_all)[kept]
+    cboxes = np.concatenate(cropbox_all)[kept]
+    boxes = batched_mask_to_box(out["masks"]) * 4.0
+    out["records"] = [
+        {
+            "segmentation": rles[i] if rles is not None else out["masks"][i],
+            "area": int(out["masks"][i].sum()) * 16,  # S/4 grid -> pixels
+            "bbox": box_xyxy_to_xywh(boxes[i]),
+            "predicted_iou": float(out["scores"][i]),
+            "point_coords": [points[i].tolist()],
+            "stability_score": float(stabs[i]),
+            "crop_box": box_xyxy_to_xywh(cboxes[i]),
+        }
+        for i in range(len(kept))
+    ]
     return out

@@ -189,6 +189,57 @@ def test_generate_masks_multicrop():
     assert out["masks"].shape[1:] == (16, 16)
     assert len(out["masks"]) == len(out["scores"])
     assert len(out["masks"]) > 0
+    # Reference record layout: one dict per kept mask, point/crop metadata
+    # carried through the NMS in full-image pixel space.
+    assert len(out["records"]) == len(out["masks"])
+    import numpy as np
+
+    for rec in out["records"]:
+        x, y, w, h = rec["bbox"]
+        assert 0 <= x <= 64 and 0 <= y <= 64 and w <= 64 and h <= 64
+        assert rec["area"] == int(rec["segmentation"].sum()) * 16
+        (px, py), = rec["point_coords"]
+        assert 0 <= px <= 64 and 0 <= py <= 64
+        cx, cy, cw2, ch2 = rec["crop_box"]
+        assert cw2 <= 64 and ch2 <= 64
+        assert np.isfinite(rec["predicted_iou"])
+        assert np.isfinite(rec["stability_score"])
+
+
+def test_generate_masks_rle_modes():
+    """output_mode='coco_rle': records carry compressed-string RLEs that
+    decode back to the kept masks."""
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as np
+    from iuvl_tpu.inference.amg import (
+        coco_decode_rle, generate_masks, rle_to_mask,
+    )
+    from iuvl_tpu.models.sam.build import Sam, SamConfig
+    import iuvl_tpu.models.sam.build as sb
+
+    sb.SAM_VARIANTS["tiny_test"] = dict(
+        embed_dim=32, depth=2, num_heads=2, global_attn_indexes=(1,)
+    )
+    cfg = SamConfig(**sb.SAM_VARIANTS["tiny_test"], img_size=64)
+    model = Sam(cfg=cfg)
+    img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), img0, jnp.zeros((1, 1, 2)),
+        jnp.ones((1, 1), jnp.int32),
+    )
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 255
+    out = generate_masks(
+        model, params, img, points_per_side=4, batch=8,
+        pred_iou_thresh=-10.0, stability_thresh=-1.0,
+        output_mode="coco_rle",
+    )
+    assert len(out["rles"]) == len(out["masks"]) > 0
+    for rle, mask, rec in zip(out["rles"], out["masks"], out["records"]):
+        assert isinstance(rle["counts"], str)
+        np.testing.assert_array_equal(rle_to_mask(coco_decode_rle(rle)), mask)
+        assert rec["segmentation"] is rle
 
 
 def test_coco_rle_string_roundtrip():
