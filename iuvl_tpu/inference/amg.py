@@ -113,8 +113,9 @@ def area_from_rle(rle: dict) -> int:
 
 
 def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
-    """XYXY boxes around (N, H, W) bool masks (reference amg.py
-    batched_mask_to_box semantics: zeros for empty masks)."""
+    """XYXY boxes around (N, H, W) bool masks (reference amg.py:303-338
+    batched_mask_to_box semantics: inclusive max-index edges, zeros for
+    empty masks — a 1-pixel mask has x0 == x1)."""
     n = len(masks)
     boxes = np.zeros((n, 4), np.float32)
     if n == 0:
@@ -128,7 +129,7 @@ def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
     x0 = cols.argmax(1)
     x1 = w - 1 - cols[:, ::-1].argmax(1)
     boxes[nonempty] = np.stack(
-        [x0, y0, x1 + 1, y1 + 1], -1
+        [x0, y0, x1, y1], -1
     )[nonempty].astype(np.float32)
     return boxes
 
@@ -262,6 +263,9 @@ def generate_masks(
     SamAutomaticMaskGenerator output modes) adds per-mask COCO RLE records
     under "rles" via the batched native codec (compressed-string form for
     coco_rle)."""
+    assert output_mode in ("binary_mask", "uncompressed_rle", "coco_rle"), (
+        output_mode
+    )
     s = image.shape[1]
     ms = s // 4  # SAM mask logits resolution
     grids = build_all_layer_point_grids(points_per_side, crop_n_layers, 2)
@@ -340,16 +344,18 @@ def generate_masks(
         out["rles"] = rles
     # Per-mask records in the reference SamAutomaticMaskGenerator.generate
     # layout (amg.py: segmentation/area/bbox/predicted_iou/point_coords/
-    # stability_score/crop_box). bbox/point_coords are in full-image pixel
-    # space (masks live at S/4, hence the *4).
+    # stability_score/crop_box). ALL geometry is in the segmentation's own
+    # (S/4) frame so records are self-consistent (the reference's records
+    # are likewise single-frame; its masks live at full image resolution,
+    # ours at S/4 — multiply every geometric field by 4 for image pixels).
     stabs = np.concatenate(stab_all)[kept]
-    points = np.concatenate(points_all)[kept]
-    cboxes = np.concatenate(cropbox_all)[kept]
-    boxes = batched_mask_to_box(out["masks"]) * 4.0
+    points = np.concatenate(points_all)[kept] / 4.0
+    cboxes = np.concatenate(cropbox_all)[kept] / 4.0
+    boxes = batched_mask_to_box(out["masks"])
     out["records"] = [
         {
             "segmentation": rles[i] if rles is not None else out["masks"][i],
-            "area": int(out["masks"][i].sum()) * 16,  # S/4 grid -> pixels
+            "area": int(out["masks"][i].sum()),
             "bbox": box_xyxy_to_xywh(boxes[i]),
             "predicted_iou": float(out["scores"][i]),
             "point_coords": [points[i].tolist()],

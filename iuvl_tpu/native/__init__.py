@@ -19,13 +19,21 @@ _lib = None
 def _load():
     global _lib
     if _lib is not None:
-        return _lib
+        return _lib if _lib is not False else None
     if not os.path.exists(_LIB_PATH):
+        _lib = False  # cache the miss: no per-call exists/CDLL probes
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     try:
         lib.mask_nms_bits  # newest symbol: stale .so -> rebuild needed
     except AttributeError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "stale %s (missing symbols): native paths disabled — rebuild "
+            "with `python -m iuvl_tpu.native.build`", _LIB_PATH,
+        )
+        _lib = False
         return None
     lib.resize_bilinear_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

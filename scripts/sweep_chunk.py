@@ -33,6 +33,10 @@ def main():
 
     chunks = [int(a) for a in sys.argv[1:]] or [128, 256, 512]
     for chunk in chunks:
+        assert n_prompts % chunk == 0, (
+            f"chunk {chunk} must divide {n_prompts} or the per-1024 number "
+            "is skewed"
+        )
         n_chunks = n_prompts // chunk
         all_pts = jax.random.uniform(
             jax.random.PRNGKey(2), (n_chunks, chunk, 1, 2)) * 1024

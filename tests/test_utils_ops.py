@@ -190,18 +190,26 @@ def test_generate_masks_multicrop():
     assert len(out["masks"]) == len(out["scores"])
     assert len(out["masks"]) > 0
     # Reference record layout: one dict per kept mask, point/crop metadata
-    # carried through the NMS in full-image pixel space.
+    # carried through the NMS. All geometry is in the segmentation's (S/4)
+    # frame — here S=64, so the mask frame is 16x16.
     assert len(out["records"]) == len(out["masks"])
     import numpy as np
 
+    from iuvl_tpu.inference.amg import batched_mask_to_box
+
     for rec in out["records"]:
         x, y, w, h = rec["bbox"]
-        assert 0 <= x <= 64 and 0 <= y <= 64 and w <= 64 and h <= 64
-        assert rec["area"] == int(rec["segmentation"].sum()) * 16
+        assert 0 <= x <= 16 and 0 <= y <= 16 and w <= 16 and h <= 16
+        assert rec["area"] == int(rec["segmentation"].sum())
+        seg_box = batched_mask_to_box(rec["segmentation"][None])[0]
+        assert rec["bbox"] == [
+            float(seg_box[0]), float(seg_box[1]),
+            float(seg_box[2] - seg_box[0]), float(seg_box[3] - seg_box[1]),
+        ]
         (px, py), = rec["point_coords"]
-        assert 0 <= px <= 64 and 0 <= py <= 64
+        assert 0 <= px <= 16 and 0 <= py <= 16
         cx, cy, cw2, ch2 = rec["crop_box"]
-        assert cw2 <= 64 and ch2 <= 64
+        assert cw2 <= 16 and ch2 <= 16
         assert np.isfinite(rec["predicted_iou"])
         assert np.isfinite(rec["stability_score"])
 
