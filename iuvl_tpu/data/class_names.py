@@ -125,4 +125,34 @@ def get_class_names(
         return SUN_RGBD_37_CLASSES + ["background"]
     if "bdd" in n or "cityscapes" in n:
         return BDD_SEM_CLASSES + ["background"]
+    if "imagenet" in n:
+        return _imagenet_class_names() + ["background"]
     raise ValueError(f"unknown dataset for class names: {dataset_name}")
+
+
+def _imagenet_class_names() -> list[str]:
+    """ImageNet-1k names: $DATASET/imagenet/classnames.txt (one name per
+    line, val-folder order) when present, else the sorted synset folder
+    ids themselves — zero-shot prompts then carry no semantics, but the
+    eval pipeline stays runnable (reference ships the name list in
+    utils/constants.py:IMAGENET_CLASSES)."""
+    import glob
+    import os
+
+    root = os.environ.get("DATASET")
+    if root:
+        txt = os.path.join(root, "imagenet", "classnames.txt")
+        if os.path.exists(txt):
+            with open(txt) as f:
+                names = [line.strip() for line in f if line.strip()]
+            if names:
+                return names
+        folders = sorted(
+            glob.glob(os.path.join(root, "imagenet", "val", "n*"))
+        )
+        if folders:
+            return [os.path.basename(p) for p in folders]
+    raise FileNotFoundError(
+        "ImageNet class names need $DATASET/imagenet/classnames.txt or "
+        "val/n* folders"
+    )

@@ -396,6 +396,12 @@ def batched_iterator(
     drop_last: bool = True, epochs: int | None = None,
 ) -> Iterator[dict]:
     """Dense-collated epoch iterator (host-side)."""
+    if drop_last and batch_size > len(dataset):
+        raise ValueError(
+            f"batch_size {batch_size} > dataset length {len(dataset)} with "
+            "drop_last: every epoch would yield zero batches (with "
+            "epochs=None the consumer loop would spin forever)"
+        )
     epoch = 0
     while epochs is None or epoch < epochs:
         order = np.arange(len(dataset))

@@ -196,6 +196,13 @@ class RefCocoDataset:
             for poly in seg:
                 pts = np.asarray(poly, np.float64).reshape(-1, 2).astype(np.int32)
                 cv2.fillPoly(mask, [pts], 1)
+        elif isinstance(seg, dict):
+            # COCO RLE (iscrowd / pre-encoded): counts is an uncompressed
+            # list or a compressed string.
+            from ..inference.amg import coco_decode_rle, rle_to_mask
+
+            rle = coco_decode_rle(seg) if isinstance(seg["counts"], str) else seg
+            return rle_to_mask(rle)
         return mask.astype(bool)
 
 
@@ -315,11 +322,17 @@ class SyntheticInstructionDataset:
         conv.append_message(conv.roles[0], f"<image>\n{question}")
         conv.append_message(conv.roles[1], answer)
         prompt = conv.get_prompt()
-        ids = tokenizer_image_token(prompt, self.tokenizer)
         # Mask everything before the assistant answer (reference
-        # llm/utils.py preprocess_v1 label masking).
-        answer_ids = self.tokenizer.encode_text(answer)
-        labels = [IGNORE_INDEX] * (len(ids) - len(answer_ids)) + answer_ids
+        # llm/utils.py preprocess_v1: tokenize the prompt split at the
+        # assistant marker). Tokenizing the whole prompt and right-aligning
+        # answer ids would mis-place supervision: the trailing '</s>'
+        # separator adds BPE tokens after the answer.
+        marker = f"{conv.roles[1]}: "
+        head, _, tail = prompt.rpartition(marker)
+        prefix_ids = tokenizer_image_token(head + marker, self.tokenizer)
+        tail_ids = self.tokenizer.encode_text(tail)  # answer + sep tokens
+        ids = prefix_ids + tail_ids
+        labels = [IGNORE_INDEX] * len(prefix_ids) + tail_ids
         ids = np.asarray(ids[: self.max_len], np.int32)
         labels = np.asarray(labels[: self.max_len], np.int32)
         if self.vocab_size:

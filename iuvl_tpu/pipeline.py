@@ -195,7 +195,24 @@ class XDecoderPipeline:
         loader = batched_iterator(ds, batch_size, shuffle=False, epochs=1)
         text_emb = self.class_text_embeddings(params, name, is_eval=True)
         num_classes = text_emb.shape[0] - 1
-        thing_ids = COCO_THING_IDS if "coco" in name else set(range(num_classes))
+        # Thing/stuff split drives PQ instance matching: COCO's is built in;
+        # other panoptic datasets must supply theirs via <NAME>.THING_IDS
+        # (detectron2 metadata isthing in the reference) — treating every
+        # class as a thing would instance-match stuff regions and skew
+        # PQ_st/PQ_th.
+        cfg_things = self.cfg.get(name.upper(), {}).get("THING_IDS")
+        if cfg_things is not None:
+            thing_ids = set(int(i) for i in cfg_things)
+        elif "coco" in name:
+            thing_ids = COCO_THING_IDS
+        else:
+            thing_ids = set(range(num_classes))
+            if "panoptic" in name:
+                logger.warning(
+                    "%s: no THING_IDS configured — PQ treats all %d classes "
+                    "as things; set %s.THING_IDS for a correct PQ_st/PQ_th "
+                    "split", name, num_classes, name.upper(),
+                )
         evaluator = SemSegEvaluator(num_classes=num_classes)
         pan_eval = PanopticEvaluator(thing_ids=thing_ids)
         inst_eval = InstanceAPEvaluator(num_classes=num_classes)
@@ -296,25 +313,46 @@ class XDecoderPipeline:
             ids = jnp.asarray(item["text_ids"])
             msk = jnp.asarray(item["text_mask"])
             token_emb, class_emb = tok_fn(params, ids, msk)
-            # Grounding tokens: per-token embeddings of the (first) phrase,
-            # masked to real tokens (reference evaluate_grounding:645-649).
-            valid = msk[0].astype(bool)
-            gtok = token_emb[0][None]  # (1, 77, C)
-            masks = ground_fn(
-                params,
-                jnp.asarray(item["image"])[None],
-                gtok,
-                valid[None],
-                class_emb[None, :1],
-            )
-            pred = np.asarray(masks[0, 0] > 0)
-            gt = np.asarray(item["gt_mask"])
-            if gt.shape != pred.shape:
-                gt_r = np.zeros(pred.shape, bool)
-                gt_r[: gt.shape[0], : gt.shape[1]] = gt[: pred.shape[0], : pred.shape[1]]
-                gt = gt_r
-            evaluator.process(pred, gt)
+            # Every real sentence of the ref is a grounding sample
+            # (reference grounding_evaluation scores each sentence).
+            n_sents = max(1, len(item.get("texts", ())))
+            for si in range(min(n_sents, token_emb.shape[0])):
+                self._process_grounding_sample(
+                    evaluator, ground_fn, params, item,
+                    token_emb[si][None], msk[si].astype(bool)[None],
+                    class_emb[None, si : si + 1],
+                )
         return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
+
+    def _process_grounding_sample(self, evaluator, ground_fn, params, item,
+                                  gtok, valid, cls_emb):
+        import jax.numpy as jnp
+
+        masks = ground_fn(
+            params,
+            jnp.asarray(item["image"])[None],
+            gtok,
+            valid,
+            cls_emb,
+        )
+        logits = np.asarray(masks[0, 0], np.float32)
+        gt = np.asarray(item["gt_mask"])
+        if gt.shape != logits.shape:
+            # The image went through resize-longest-side + pad while gt
+            # stayed at original (h0, w0): crop the padded prediction to
+            # the resized extent and bilinear-resize the logits back to
+            # the gt frame (reference sem_seg_postprocess semantics) —
+            # a raw pad/crop against unscaled gt never aligns.
+            import cv2
+
+            h0, w0 = gt.shape
+            scale = logits.shape[0] / max(h0, w0)
+            rh, rw = round(h0 * scale), round(w0 * scale)
+            logits = cv2.resize(
+                logits[:rh, :rw], (w0, h0),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        evaluator.process(logits > 0, gt)
 
     def _evaluate_interactive(self, params, name, max_batches=None):
         """Click-refinement NoC eval (reference evaluate_interactive +

@@ -19,6 +19,22 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def latest_run_dir(base_dir: str, prefix: str = "run_") -> str | None:
+    """Highest-numbered existing run directory, or None. RESUME roots the
+    checkpoint manager here so a restarted run actually finds its steps
+    (reference utils_trainer.py resume semantics)."""
+    if not os.path.isdir(base_dir):
+        return None
+    existing = [
+        int(m.group(1))
+        for d in os.listdir(base_dir)
+        if (m := re.fullmatch(rf"{prefix}(\d+)", d))
+    ]
+    if not existing:
+        return None
+    return os.path.join(base_dir, f"{prefix}{max(existing)}")
+
+
 def next_run_dir(base_dir: str, prefix: str = "run_") -> str:
     """Auto-incrementing run directory (reference distributed_trainer.py:75-110)."""
     os.makedirs(base_dir, exist_ok=True)

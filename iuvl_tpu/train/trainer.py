@@ -24,7 +24,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..losses.criterion import CriterionConfig, SegCriterion, SegTargets
 from ..pipeline import XDecoderPipeline
-from ..runtime.checkpoint import CheckpointManager, next_run_dir
+from ..runtime.checkpoint import CheckpointManager, latest_run_dir, next_run_dir
 from ..runtime.mesh import MeshSpec, create_mesh, maybe_init_distributed
 from ..runtime.metrics import LossMeter, Throughput, format_metrics
 from .optimizer import build_optimizer
@@ -54,7 +54,11 @@ class Trainer:
         )
         self.pipeline = XDecoderPipeline(cfg)
         save_root = cfg.get("SAVE_DIR", "./runs")
-        self.run_dir = next_run_dir(save_root)
+        # RESUME continues the latest existing run (a fresh run dir would
+        # make ckpt.latest_step always None and silently restart at step 0).
+        self.run_dir = (
+            latest_run_dir(save_root) if cfg.get("RESUME") else None
+        ) or next_run_dir(save_root)
         self.ckpt = CheckpointManager(os.path.join(self.run_dir, "ckpt"))
 
     # ------------------------------------------------------------------ #
@@ -98,7 +102,12 @@ class Trainer:
             milestones=tuple(solver.get("STEPS", (0.4, 0.8))),
             frozen_substrings=tuple(cfg.get("FIX_PARAM", ())),
         )
-        train_name = (cfg.get("DATASETS", {}).get("TRAIN") or ["synthetic_seg"])[0]
+        # The criterion's class count comes from the SEG stream: skip vlp/
+        # instruction names exactly like train() does when picking the
+        # seg dataset (a vlp-first TRAIN list would otherwise yield 0).
+        train_names = cfg.get("DATASETS", {}).get("TRAIN") or ["synthetic_seg"]
+        seg_names = [n for n in train_names if "vlp" not in n]
+        train_name = (seg_names or train_names)[0]
         n_classes = len(
             __import__("iuvl_tpu.data.class_names", fromlist=["get_class_names"])
             .get_class_names(train_name)
@@ -226,6 +235,7 @@ class Trainer:
             self._nan_ctx.__enter__()
         mlog = MetricsLogger(self.run_dir, resume=bool(cfg.get("RESUME")))
         meters = LossMeter()
+        pending_metrics: list = []  # device arrays, synced at log boundaries
         thru = Throughput()
         rng = jax.random.PRNGKey(cfg.get("SEED", 0))
         log_every = cfg.get("LOG_EVERY", 10)
@@ -285,8 +295,15 @@ class Trainer:
             else:
                 state, metrics = step_fn(state, images, text_in, targets, sub)
             step += 1
-            meters.update({k: float(v) for k, v in jax.device_get(metrics).items()})
+            # Hold the device metrics and sync only at the log boundary:
+            # a per-step device_get blocks the host on every step's result
+            # and defeats the prefetch pipeline (dispatch is async).
+            pending_metrics.append(metrics)
             thru.update(batch_size)
+            if step % log_every == 0 or step % eval_every == 0:
+                for m in jax.device_get(pending_metrics):
+                    meters.update({k: float(v) for k, v in m.items()})
+                pending_metrics.clear()
             if step % log_every == 0:
                 logger.info(
                     "step %d  img/s %.2f  %s", step, thru.rate(),
@@ -309,6 +326,9 @@ class Trainer:
                     logger.info("eval @%d: %s", step, format_metrics(results))
         if prof_ctx is not None:
             prof_ctx.__exit__(None, None, None)
+        for m in jax.device_get(pending_metrics):
+            meters.update({k: float(v) for k, v in m.items()})
+        pending_metrics.clear()
         self.ckpt.save(step, jax.device_get(state), wait=True)
         mlog.log(step, last_metrics or meters.averages())
         return {"final_step": step, **(last_metrics or meters.averages())}
@@ -403,6 +423,11 @@ class Trainer:
         total_steps = epochs * steps_per_epoch
         step = int(jax.device_get(state.step))
         order = np.arange(len(ds))
+        if batch_size > len(ds):
+            raise ValueError(
+                f"BATCH_SIZE {batch_size} > instruction dataset length "
+                f"{len(ds)}: the epoch loop would yield no batches"
+            )
         rs = np.random.RandomState(cfg.get("SEED", 0))
         while step < total_steps:
             rs.shuffle(order)
