@@ -86,7 +86,10 @@ class CaptioningEvaluator:
             return vec
 
         def cos(v1, v2):
-            num = sum(v1[g] * v2.get(g, 0.0) for g in v1)
+            # CIDEr-D similarity (pycocoevalcap cider_scorer.sim): the
+            # hypothesis term is CLIPPED at the reference term so repeating
+            # a high-idf n-gram cannot inflate the numerator.
+            num = sum(min(v1[g], v2.get(g, 0.0)) * v2.get(g, 0.0) for g in v1)
             n1 = math.sqrt(sum(v * v for v in v1.values()))
             n2 = math.sqrt(sum(v * v for v in v2.values()))
             return num / (n1 * n2) if n1 > 0 and n2 > 0 else 0.0

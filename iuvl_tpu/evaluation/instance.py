@@ -38,8 +38,14 @@ class InstanceAPEvaluator:
     def process(self, pred_masks, pred_scores, pred_classes, gt_masks, gt_classes):
         """pred_masks (P, H, W) bool, scores (P,), classes (P,);
         gt_masks (G, H, W) bool, gt_classes (G,)."""
-        pred_masks = np.asarray(pred_masks, bool).reshape(len(pred_scores), -1)
-        gt_masks = np.asarray(gt_masks, bool).reshape(len(gt_classes), -1)
+        # reshape(n, -1) cannot infer -1 when n == 0 (empty preds or
+        # all-padding gt must not abort the eval run).
+        pred_masks = np.asarray(pred_masks, bool)
+        pred_masks = pred_masks.reshape(len(pred_masks), pred_masks[0].size
+                                        if len(pred_masks) else 0)
+        gt_masks = np.asarray(gt_masks, bool)
+        gt_masks = gt_masks.reshape(len(gt_masks), gt_masks[0].size
+                                    if len(gt_masks) else 0)
         pred_scores = np.asarray(pred_scores)
         pred_classes = np.asarray(pred_classes)
         gt_classes = np.asarray(gt_classes)

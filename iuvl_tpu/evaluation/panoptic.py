@@ -55,8 +55,11 @@ class PanopticEvaluator:
                 continue
             if gt_cats[gid] != pred_cats[pid]:
                 continue
-            union = gt_areas[gid] + pred_areas[pid] - i_area \
-                - inter.get((0, pid), 0) * 0  # void not subtracted (simplified)
+            # panopticapi rule: the pred segment's overlap with gt VOID
+            # (id 0) is subtracted from the union so spilling into
+            # unlabeled regions doesn't sink the IoU below the 0.5 match.
+            union = (gt_areas[gid] + pred_areas[pid] - i_area
+                     - inter.get((0, pid), 0))
             iou = i_area / union if union > 0 else 0.0
             if iou > 0.5:
                 cat = gt_cats[gid]

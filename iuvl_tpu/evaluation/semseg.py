@@ -41,7 +41,10 @@ class SemSegEvaluator:
         iou = np.full(self.num_classes, np.nan)
         tp = self._conf_matrix.diagonal()[: self.num_classes].astype(float)
         pos_gt = self._conf_matrix[: self.num_classes + 1, : self.num_classes].sum(0).astype(float)
-        pos_pred = self._conf_matrix[: self.num_classes, : self.num_classes + 1].sum(1).astype(float)
+        # Exclude the gt-ignore column (reference segmentation_evaluation
+        # .py:146 sums conf[:-1, :-1]): predictions on ignore pixels must
+        # not inflate the union.
+        pos_pred = self._conf_matrix[: self.num_classes, : self.num_classes].sum(1).astype(float)
         class_weights = pos_gt / max(pos_gt.sum(), 1)
         acc_valid = pos_gt > 0
         acc[acc_valid] = tp[acc_valid] / pos_gt[acc_valid]

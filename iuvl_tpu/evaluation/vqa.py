@@ -38,14 +38,23 @@ _NUMBER_WORDS = {
     "nine": "9", "ten": "10",
 }
 _ARTICLES = {"a", "an", "the"}
-_PUNCT = re.compile(r"[;/\[\]\"{}()=+\\_\-><@`,?!]")
+_PUNCT_CHARS = list(";/[]\"{}()=+\\_-><@`,?!")
 _PERIOD = re.compile(r"(?<!\d)\.(?!\d)")
 
 
 def normalize_answer(ans: str) -> str:
     """Reference vqaEval.py processPunctuation + processDigitArticle."""
     ans = ans.replace("\n", " ").replace("\t", " ").strip().lower()
-    ans = _PUNCT.sub("", ans)
+    # Official rule (vqaEval.py:132-136): a punctuation char adjacent to a
+    # space (or any comma in the string) is deleted; otherwise it is
+    # REPLACED BY A SPACE so 'black/white' token-matches 'black white'.
+    out = ans
+    for p in _PUNCT_CHARS:
+        if (p + " " in ans) or (" " + p in ans) or ("," in ans):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    ans = out
     ans = _PERIOD.sub("", ans)
     words = []
     for w in ans.split():

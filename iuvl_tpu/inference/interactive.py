@@ -86,7 +86,7 @@ def make_interactive_loop(
         labels0 = labels0.at[:, 0].set(1)
 
         def round_fn(carry, rnd):
-            points, labels, rng = carry
+            points, labels, rng, _ = carry
             if unified:
                 logits = model.apply(
                     params, emb, mask_features, multi_scale,
@@ -114,19 +114,24 @@ def make_interactive_loop(
             new_labels = labels.at[:, slot].set(
                 jnp.where(keep, 1, labels[:, slot])
             )
-            return (new_points, new_labels, rng), (ious, pred)
+            # The final round's pred rides the CARRY: stacking every
+            # round's (N, H, W) mask as scan output would hold
+            # max_clicks x the memory for rounds that are discarded.
+            return (new_points, new_labels, rng, pred), ious
 
-        (_, _, _), (ious, preds) = jax.lax.scan(
-            round_fn, (points0, labels0, rng), jnp.arange(max_clicks)
+        (_, _, _, last_pred), ious = jax.lax.scan(
+            round_fn,
+            (points0, labels0, rng, jnp.zeros((n, gh, gw), bool)),
+            jnp.arange(max_clicks),
         )
-        return ious, preds[-1]
+        return ious, last_pred
 
     return jax.jit(loop)
 
 
 def single_shot_eval(
     model, params, sam_embedding, gt_masks, prompt_type: str,
-    prompt_masks=None, boxes=None, num_points: int = 8, rng=None,
+    prompt_masks=None, boxes=None, num_points: int = 8, seed: int = 0,
     mask_index: int = 0,
 ):
     """Single-shot (non-iterative) variants for box / circle / scribble /
@@ -148,7 +153,10 @@ def single_shot_eval(
         assert prompt_masks is not None
         pts = np.zeros((n, num_points, 2), np.float32)
         labs = -np.ones((n, num_points), np.int32)
-        rs = np.random.RandomState(0 if rng is None else rng)
+        # Host-side numpy sampling: takes an int seed, NOT a jax PRNG key
+        # (a typed key would crash RandomState; a legacy uint32 key would
+        # silently mis-seed).
+        rs = np.random.RandomState(seed)
         for i in range(n):
             ys, xs = np.nonzero(np.asarray(prompt_masks[i]))
             if len(ys) == 0:

@@ -94,9 +94,13 @@ def panoptic_merge(
         pred_class = int(cur_classes[k_i])
         isthing = pred_class in thing_ids
         mask = (cur_mask_ids == k_i) & (cur_masks[k_i] >= 0.5)
-        mask_area = mask.sum()
+        # Reference (xdecoder_model.py:1059-1064): overlap ratio uses the
+        # FULL argmax region over the >=0.5 area — intersecting the
+        # numerator with the 0.5 cut underestimates it and drops segments
+        # the reference keeps.
+        mask_area = (cur_mask_ids == k_i).sum()
         original_area = (cur_masks[k_i] >= 0.5).sum()
-        if mask_area > 0 and original_area > 0:
+        if mask_area > 0 and original_area > 0 and mask.sum() > 0:
             if mask_area / original_area < overlap_threshold:
                 continue
             if not isthing:

@@ -341,17 +341,13 @@ class XDecoderPipeline:
             # The image went through resize-longest-side + pad while gt
             # stayed at original (h0, w0): crop the padded prediction to
             # the resized extent and bilinear-resize the logits back to
-            # the gt frame (reference sem_seg_postprocess semantics) —
-            # a raw pad/crop against unscaled gt never aligns.
-            import cv2
-
+            # the gt frame (same semantics as sem_seg_postprocess / the
+            # semantic-eval path) — a raw pad/crop against unscaled gt
+            # never aligns.
             h0, w0 = gt.shape
             scale = logits.shape[0] / max(h0, w0)
             rh, rw = round(h0 * scale), round(w0 * scale)
-            logits = cv2.resize(
-                logits[:rh, :rw], (w0, h0),
-                interpolation=cv2.INTER_LINEAR,
-            )
+            logits = _resize_chw_np(logits[None, :rh, :rw], h0, w0)[0]
         evaluator.process(logits > 0, gt)
 
     def _evaluate_interactive(self, params, name, max_batches=None):

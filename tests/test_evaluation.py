@@ -134,3 +134,83 @@ def test_noun_phrases():
     assert any("ball" in p for p in phrases)
     _, prompts = noun_prompts("a cat on the mat")
     assert all(p.startswith("a photo of the") for p in prompts)
+
+
+def test_instance_ap_empty_preds_and_gt_no_crash():
+    import numpy as np
+
+    from iuvl_tpu.evaluation.instance import InstanceAPEvaluator
+
+    ev = InstanceAPEvaluator(num_classes=3)
+    # zero predictions against real gt
+    ev.process(np.zeros((0, 8, 8)), np.zeros(0), np.zeros(0, int),
+               np.ones((1, 8, 8), bool), np.asarray([1]))
+    # real predictions against zero gt
+    ev.process(np.ones((1, 8, 8), bool), np.asarray([0.9]),
+               np.asarray([1]), np.zeros((0, 8, 8)), np.zeros(0, int))
+    out = ev.evaluate()
+    assert np.isfinite(out["AP"])
+
+
+def test_semseg_union_excludes_ignore_column():
+    import numpy as np
+
+    from iuvl_tpu.evaluation.semseg import SemSegEvaluator
+
+    ev = SemSegEvaluator(num_classes=2)
+    gt = np.zeros((4, 4), np.int64)
+    gt[2:] = ev.ignore_label if hasattr(ev, "ignore_label") else 2
+    pred = np.zeros((4, 4), np.int64)  # class 0 everywhere, incl. ignore px
+    ev.process(pred, gt)
+    out = ev.evaluate()
+    # Predictions on ignore pixels must not inflate the union: class 0 has
+    # tp == pos_gt == pos_pred(non-ignore) == 8 -> IoU 100.
+    assert out["mIoU"] == 100.0
+
+
+def test_panoptic_void_overlap_subtracted_from_union():
+    import numpy as np
+
+    from iuvl_tpu.evaluation.panoptic import PanopticEvaluator
+
+    # gt: segment 1 covers the left half; the right half is VOID (0).
+    gt = np.zeros((4, 8), np.int32)
+    gt[:, :4] = 1
+    # pred: one segment covering everything — overlap with gt seg = 16,
+    # overlap with void = 16. panopticapi union = 16+32-16-16 = 16 -> IoU 1.
+    pred = np.full((4, 8), 5, np.int32)
+    ev = PanopticEvaluator(thing_ids={7})
+    ev.process(pred, [{"id": 5, "category_id": 7}],
+               gt, [{"id": 1, "category_id": 7}])
+    out = ev.evaluate()
+    assert out["PQ"] > 50.0  # matched (without void subtraction IoU=0.5 fails)
+
+
+def test_vqa_punctuation_replaced_by_space_when_joined():
+    from iuvl_tpu.evaluation.vqa import normalize_answer
+
+    # '/' not adjacent to a space -> becomes a space (official vqaEval rule)
+    assert normalize_answer("black/white") == "black white"
+    # adjacent to a space -> deleted
+    assert normalize_answer("black / white") == "black  white".replace("  ", " ") or \
+        normalize_answer("black / white").split() == ["black", "white"]
+
+
+def test_cider_clips_repeated_ngrams():
+    from iuvl_tpu.evaluation.captioning import CaptioningEvaluator
+
+    corpus = [
+        ("a dog runs on grass", ["a dog runs on the grass"]),
+        ("two people ride bikes", ["two people riding bicycles"]),
+        ("a bowl of fruit", ["a bowl full of fruit"]),
+    ]
+    ev_rep = CaptioningEvaluator()
+    ev_ok = CaptioningEvaluator()
+    for p, refs in corpus:
+        ev_rep.process(p, refs)
+        ev_ok.process(p, refs)
+    ev_rep.process("red red red red red", ["a red car parked outside"])
+    ev_ok.process("a red car parked outside", ["a red car parked outside"])
+    rep = ev_rep.evaluate()["CIDEr"]
+    ok = ev_ok.evaluate()["CIDEr"]
+    assert ok > rep  # repetition must not beat the exact match
