@@ -111,10 +111,22 @@ def get_class_names(
         return [f"object {i}" for i in range(num_classes)] + ["background"]
     if "refcoco" in n or "vlp" in n or "instruction" in n or "instp" in n or "vqa" in n:
         return ["background"]
+    if "stuff_10k" in n or "stuff10k" in n:
+        from .class_names_ext import COCO_STUFF_171_CLASSES
+
+        return COCO_STUFF_171_CLASSES + ["background"]
     if "coco" in n:
         return COCO_PANOPTIC_CLASSES + ["background"]
+    if "ade20k_full" in n or "ade847" in n:
+        from .class_names_ext import ADE847_CLASSES
+
+        return ADE847_CLASSES + ["background"]
     if "ade" in n:
         return ADE150_CLASSES + ["background"]
+    if "bdd10k_40" in n or ("bdd" in n and "panoptic" in n):
+        from .class_names_ext import BDD_PANO_40_CLASSES
+
+        return BDD_PANO_40_CLASSES + ["background"]
     if "voc" in n or "pascal" in n:
         return PASCAL_VOC_CLASSES + ["background"]
     if "scannet_41" in n or "scannet_40" in n:

@@ -297,10 +297,14 @@ def _build_vqa(cfg, split):
 # --------------------------------------------------------------------- #
 class SemSegFolderDataset:
     """Generic (image, label-png) pair loader with the ADE eval contract:
-    padded input image + ORIGINAL-size gt sem_seg."""
+    padded input image + ORIGINAL-size gt sem_seg. ``loader_type`` mirrors
+    the reference's semseg_loader.load_semseg (datasets/semseg_loader.py:5-9):
+    'PIL' for png/tif label images, 'MAT' for MATLAB files with a LabelMap
+    variable."""
 
     def __init__(self, img_paths: list[str], ann_paths: list[str],
-                 image_size=1024, label_shift=0, ignore_label=255):
+                 image_size=1024, label_shift=0, ignore_label=255,
+                 loader_type="PIL"):
         assert len(img_paths) == len(ann_paths) and img_paths, (
             f"{len(img_paths)} images vs {len(ann_paths)} labels"
         )
@@ -309,14 +313,24 @@ class SemSegFolderDataset:
         self.image_size = image_size
         self.label_shift = label_shift
         self.ignore_label = ignore_label
+        self.loader_type = loader_type
 
     def __len__(self):
         return len(self.img_paths)
 
+    def _load_semseg(self, path: str) -> np.ndarray:
+        if self.loader_type == "MAT":
+            import scipy.io
+
+            return np.asarray(scipy.io.loadmat(path)["LabelMap"], np.int32)
+        from PIL import Image
+
+        return np.asarray(Image.open(path), np.int32)
+
     def __getitem__(self, i: int) -> dict[str, Any]:
         from PIL import Image
 
-        sem = np.asarray(Image.open(self.ann_paths[i]), np.int32)
+        sem = self._load_semseg(self.ann_paths[i])
         if self.label_shift:
             sem = np.where(
                 sem == 0, self.ignore_label, sem - self.label_shift
@@ -492,3 +506,168 @@ def _build_ade_panoptic(cfg, split):
     if root is None:
         raise FileNotFoundError("$DATASET not set; ADE panoptic unavailable.")
     return AdePanopticDataset(root, image_size=cfg.get("IMAGE_SIZE", 1024))
+
+
+# --------------------------------------------------------------------- #
+# ADE20K-full (847) / COCO-Stuff-10k semantic folders
+# --------------------------------------------------------------------- #
+@register_dataset("ade20k_full_sem_seg_val")
+def _build_ade_full(cfg, split):
+    """$DATASET/ADE20K_2021_17_01/{images,annotations}_detectron2/validation
+    (reference register_ade20k_full.py:944-957): jpg images + tif labels
+    storing trainIds 0..846 with 65535 = ignore."""
+    root = dataset_root()
+    if root is None:
+        raise FileNotFoundError("$DATASET not set; ADE20K-full unavailable.")
+    base = os.path.join(root, "ADE20K_2021_17_01")
+    return SemSegFolderDataset(
+        sorted(glob.glob(
+            os.path.join(base, "images_detectron2", "validation", "*.jpg"))),
+        sorted(glob.glob(
+            os.path.join(base, "annotations_detectron2", "validation",
+                         "*.tif"))),
+        image_size=cfg.get("IMAGE_SIZE", 1024), label_shift=0,
+        ignore_label=65535,
+    )
+
+
+def _build_coco_stuff_10k(cfg, split, folder="test"):
+    """$DATASET/coco/coco_stuff_10k/{images,annotations}_detectron2/{split}
+    (reference register_coco_stuff_10k.py:200-219): 171-class semseg with
+    contiguous train ids in the prepared pngs, 255 = ignore."""
+    root = dataset_root()
+    if root is None:
+        raise FileNotFoundError("$DATASET not set; COCO-Stuff unavailable.")
+    base = os.path.join(root, "coco", "coco_stuff_10k")
+    d = folder
+    return SemSegFolderDataset(
+        sorted(glob.glob(
+            os.path.join(base, "images_detectron2", d, "*.jpg"))),
+        sorted(glob.glob(
+            os.path.join(base, "annotations_detectron2", d, "*.png"))),
+        image_size=cfg.get("IMAGE_SIZE", 1024), label_shift=0,
+    )
+
+
+DATASET_REGISTRY["coco_2017_test_stuff_10k_sem_seg"] = (
+    lambda cfg, split: _build_coco_stuff_10k(cfg, split, folder="test")
+)
+DATASET_REGISTRY["coco_2017_train_stuff_10k_sem_seg"] = (
+    lambda cfg, split: _build_coco_stuff_10k(cfg, split, folder="train")
+)
+
+
+# --------------------------------------------------------------------- #
+# ScanNet / BDD100k panoptic (COCO-format panoptic json)
+# --------------------------------------------------------------------- #
+class PanopticJsonDataset:
+    """COCO-format panoptic json + png dir with a dataset-specific image
+    path resolver and dataset-id -> contiguous category map. Emits the
+    dense eval contract of CocoPanopticDataset (padded image + stride-4
+    instance masks + labels/valid + original size)."""
+
+    def __init__(self, json_path: str, pano_dir: str, image_path_fn,
+                 id_to_contiguous: dict[int, int], image_size=1024,
+                 max_instances=100):
+        with open(json_path) as f:
+            data = json.load(f)
+        self.pano_dir = pano_dir
+        self.image_path_fn = image_path_fn
+        self.id_to_contiguous = dict(id_to_contiguous)
+        self.image_size = image_size
+        self.max_instances = max_instances
+        self.mask_stride = 4
+        self.annotations = data["annotations"]
+        self.images = {im["id"]: im for im in data["images"]}
+
+    def __len__(self):
+        return len(self.annotations)
+
+    def __getitem__(self, i: int) -> dict[str, Any]:
+        from PIL import Image
+
+        from .datasets import _downsample_masks
+
+        ann = self.annotations[i]
+        img_path = self.image_path_fn(ann, self.images.get(ann["image_id"]))
+        pan_path = os.path.join(self.pano_dir, ann["file_name"])
+        image = np.asarray(Image.open(img_path).convert("RGB"))
+        pan = np.asarray(Image.open(pan_path), np.uint32)
+        seg_id = pan[..., 0] + 256 * pan[..., 1] + 256 * 256 * pan[..., 2]
+        h, w = image.shape[:2]
+        s_ = self.image_size
+        ms = s_ // self.mask_stride
+        segments = [
+            x for x in ann["segments_info"]
+            if x["category_id"] in self.id_to_contiguous
+        ][: self.max_instances]
+        inst = np.stack(
+            [seg_id == x["id"] for x in segments]
+        ) if segments else np.zeros((0, h, w), bool)
+        small = _downsample_masks(inst, s_, ms)
+        labels = np.zeros(self.max_instances, np.int32)
+        masks = np.zeros((self.max_instances, ms, ms), np.float32)
+        valid = np.zeros(self.max_instances, bool)
+        for k, seg in enumerate(segments):
+            masks[k] = small[k]
+            labels[k] = self.id_to_contiguous[seg["category_id"]]
+            valid[k] = small[k].sum() > 0
+        return {
+            "image": pad_to_square(
+                resize_longest_side(image, s_), s_
+            ).astype(np.float32),
+            "labels": labels, "masks": masks, "valid": valid,
+            "height": h, "width": w,
+        }
+
+
+@register_dataset("scannet_21_panoptic_val")
+def _build_scannet_panoptic(cfg, split):
+    """$DATASET/scannet_frames_25k/{images,scannet_panoptic{,.json}}
+    (reference register_scannet_panoptic.py:134-140): annotation file names
+    are '<scene>__<frame>.png'; the image lives at
+    images/<scene>/color/<frame>.jpg."""
+    from .class_names_ext import SCANNET_PANO_ID_TO_CONTIGUOUS
+
+    root = dataset_root()
+    if root is None:
+        raise FileNotFoundError("$DATASET not set; ScanNet pano unavailable.")
+    base = os.path.join(root, "scannet_frames_25k")
+
+    def image_path(ann, meta):
+        folder, file_name = ann["file_name"].split("__")
+        return os.path.join(
+            base, "images", folder, "color", file_name.replace("png", "jpg")
+        )
+
+    return PanopticJsonDataset(
+        os.path.join(base, "scannet_panoptic.json"),
+        os.path.join(base, "scannet_panoptic"),
+        image_path, SCANNET_PANO_ID_TO_CONTIGUOUS,
+        image_size=cfg.get("IMAGE_SIZE", 1024),
+    )
+
+
+@register_dataset("bdd10k_40_panoptic_val")
+def _build_bdd_panoptic(cfg, split):
+    """$DATASET/bdd100k/labels/pan_seg/{coco_pano/val, meta/coco_val.json}
+    + images/10k/val (reference register_bdd100k_panoseg.py:206-212)."""
+    from .class_names_ext import BDD_PANO_ID_TO_CONTIGUOUS
+
+    root = dataset_root()
+    if root is None:
+        raise FileNotFoundError("$DATASET not set; BDD pano unavailable.")
+    base = os.path.join(root, "bdd100k")
+
+    def image_path(ann, meta):
+        file_name = (meta or {}).get("file_name", ann["file_name"])
+        return os.path.join(
+            base, "images", "10k", "val", file_name.replace("png", "jpg")
+        )
+
+    return PanopticJsonDataset(
+        os.path.join(base, "labels", "pan_seg", "meta", "coco_val.json"),
+        os.path.join(base, "labels", "pan_seg", "coco_pano", "val"),
+        image_path, BDD_PANO_ID_TO_CONTIGUOUS,
+        image_size=cfg.get("IMAGE_SIZE", 1024),
+    )

@@ -6,7 +6,9 @@ head runs in 'llm'/'vqa' task mode to produce 100 object-query features,
 ``img_to_lang`` projects them to the LLM width, they're spliced at the
 <image> position of the conversation prompt, and the (frozen) Vicuna
 decodes the answer. The reference uses HF beam search (num_beams 5); here
-generation is a jitted greedy KV-cache loop (beam search: todo round 2).
+generation is a jitted KV-cache loop — greedy by default, beam search via
+``num_beams > 1`` (multimodal.beam_generate). For multi-chip serving use
+``iuvl_tpu.parallel.serve_vqa`` (tensor-parallel LLaMA over ``model``).
 """
 
 from __future__ import annotations

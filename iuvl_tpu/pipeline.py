@@ -48,7 +48,7 @@ def hook_switcher(dataset_name: str) -> dict[str, bool]:
     if "imagenet" in n or "classification" in n:
         return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
                 "mode": "classification"}
-    if "ade" in n and "panoptic" not in n:
+    if ("ade" in n and "panoptic" not in n) or "stuff_10k" in n:
         return {"semantic_on": True, "instance_on": False, "panoptic_on": False,
                 "mode": "seg"}
     return {"semantic_on": True, "instance_on": True, "panoptic_on": True,
@@ -203,6 +203,14 @@ class XDecoderPipeline:
         cfg_things = self.cfg.get(name.upper(), {}).get("THING_IDS")
         if cfg_things is not None:
             thing_ids = set(int(i) for i in cfg_things)
+        elif "scannet" in name and "panoptic" in name:
+            from .data.class_names_ext import SCANNET_PANO_THING_IDS
+
+            thing_ids = SCANNET_PANO_THING_IDS
+        elif "bdd10k_40" in name:
+            from .data.class_names_ext import BDD_PANO_THING_IDS
+
+            thing_ids = BDD_PANO_THING_IDS
         elif "coco" in name:
             thing_ids = COCO_THING_IDS
         else:
@@ -213,7 +221,15 @@ class XDecoderPipeline:
                     "as things; set %s.THING_IDS for a correct PQ_st/PQ_th "
                     "split", name, num_classes, name.upper(),
                 )
-        evaluator = SemSegEvaluator(num_classes=num_classes)
+        # ADE20K-full labels store trainIds 0..846 (>255), so its ignore
+        # sentinel is 65535 (reference prepared-tif convention); everything
+        # else uses the detectron2 default 255. Overridable per dataset.
+        ignore_label = self.cfg.get(name.upper(), {}).get(
+            "IGNORE_LABEL", 65535 if "ade20k_full" in name else 255
+        )
+        evaluator = SemSegEvaluator(
+            num_classes=num_classes, ignore_label=ignore_label
+        )
         pan_eval = PanopticEvaluator(thing_ids=thing_ids)
         inst_eval = InstanceAPEvaluator(num_classes=num_classes)
         thing_mask = jnp.asarray(

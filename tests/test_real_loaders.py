@@ -214,3 +214,130 @@ def test_coco_mapper_degrades_without_caption_files(tmp_path):
     assert float(item["grounding_task_weight"]) == 0.5
     assert item["grounding_valid"].any()
     assert not item["phrase_valid"].any()  # no captions file
+
+
+def test_ade_full_and_coco_stuff_folders(tmp_path, monkeypatch):
+    from PIL import Image
+
+    from iuvl_tpu.data.class_names import get_class_names
+    from iuvl_tpu.data.datasets import build_dataset
+
+    # ADE20K-full: tif labels with trainIds (values may exceed 255) and
+    # the 65535 ignore sentinel.
+    base = tmp_path / "ADE20K_2021_17_01"
+    _jpg(str(base / "images_detectron2" / "validation" / "a.jpg"))
+    lab = np.full((40, 56), 65535, np.int32)
+    lab[:20] = 846
+    lab[20:30] = 3
+    os.makedirs(str(base / "annotations_detectron2" / "validation"))
+    Image.fromarray(lab, mode="I").save(
+        str(base / "annotations_detectron2" / "validation" / "a.tif")
+    )
+    # COCO-Stuff-10k: contiguous-id pngs.
+    b2 = tmp_path / "coco" / "coco_stuff_10k"
+    _jpg(str(b2 / "images_detectron2" / "test" / "b.jpg"))
+    _png(str(b2 / "annotations_detectron2" / "test" / "b.png"),
+         np.random.RandomState(1).randint(0, 171, (40, 56)).astype(np.uint8))
+    monkeypatch.setenv("DATASET", str(tmp_path))
+
+    ds = build_dataset("ade20k_full_sem_seg_val", {"IMAGE_SIZE": 64}, "val")
+    item = ds[0]
+    assert item["sem_seg"].shape == (40, 56)
+    assert item["sem_seg"].max() == 65535 and 846 in item["sem_seg"]
+    assert len(get_class_names("ade20k_full_sem_seg_val")) == 848
+
+    ds = build_dataset(
+        "coco_2017_test_stuff_10k_sem_seg", {"IMAGE_SIZE": 64}, "val"
+    )
+    assert ds[0]["sem_seg"].shape == (40, 56)
+    assert len(get_class_names("coco_2017_test_stuff_10k_sem_seg")) == 172
+
+
+def test_mat_semseg_loader(tmp_path):
+    import scipy.io
+
+    from iuvl_tpu.data.real_datasets import SemSegFolderDataset
+
+    _jpg(str(tmp_path / "img" / "a.jpg"))
+    lab = np.random.RandomState(0).randint(0, 7, (40, 56)).astype(np.uint8)
+    os.makedirs(str(tmp_path / "ann"))
+    scipy.io.savemat(str(tmp_path / "ann" / "a.mat"), {"LabelMap": lab})
+    ds = SemSegFolderDataset(
+        [str(tmp_path / "img" / "a.jpg")], [str(tmp_path / "ann" / "a.mat")],
+        image_size=64, loader_type="MAT",
+    )
+    assert (ds[0]["sem_seg"] == lab).all()
+
+
+def _pano_png(path, seg_ids):
+    from PIL import Image
+
+    rgb = np.stack([
+        seg_ids % 256, (seg_ids // 256) % 256, seg_ids // 65536
+    ], -1).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(rgb).save(path)
+
+
+def test_scannet_and_bdd_panoptic_json(tmp_path, monkeypatch):
+    from iuvl_tpu.data.class_names import get_class_names
+    from iuvl_tpu.data.datasets import build_dataset
+
+    seg_ids = np.zeros((40, 56), np.int64)
+    seg_ids[:20, :30] = 7
+    seg_ids[25:, 40:] = 300
+
+    # ScanNet layout: ann file '<scene>__<frame>.png', image under
+    # images/<scene>/color/<frame>.jpg.
+    base = tmp_path / "scannet_frames_25k"
+    _jpg(str(base / "images" / "scene0011_00" / "color" / "000000.jpg"))
+    _pano_png(str(base / "scannet_panoptic" / "scene0011_00__000000.png"),
+              seg_ids)
+    js = {
+        "images": [{"id": 1, "file_name": "scene0011_00__000000.png"}],
+        "annotations": [{
+            "image_id": 1, "file_name": "scene0011_00__000000.png",
+            "segments_info": [
+                {"id": 7, "category_id": 1},     # wall  -> contiguous 0
+                {"id": 300, "category_id": 14},  # desk  -> contiguous 12
+                {"id": 9, "category_id": 999},   # unknown id: dropped
+            ],
+        }],
+    }
+    with open(str(base / "scannet_panoptic.json"), "w") as f:
+        json.dump(js, f)
+
+    # BDD layout.
+    b2 = tmp_path / "bdd100k"
+    _jpg(str(b2 / "images" / "10k" / "val" / "c.jpg"))
+    _pano_png(str(b2 / "labels" / "pan_seg" / "coco_pano" / "val" / "c.png"),
+              seg_ids)
+    js2 = {
+        "images": [{"id": 5, "file_name": "c.jpg"}],
+        "annotations": [{
+            "image_id": 5, "file_name": "c.png",
+            "segments_info": [
+                {"id": 7, "category_id": 7},    # road -> contiguous 6
+                {"id": 300, "category_id": 35},  # car -> contiguous 34
+            ],
+        }],
+    }
+    os.makedirs(str(b2 / "labels" / "pan_seg" / "meta"))
+    with open(str(b2 / "labels" / "pan_seg" / "meta" / "coco_val.json"),
+              "w") as f:
+        json.dump(js2, f)
+    monkeypatch.setenv("DATASET", str(tmp_path))
+
+    ds = build_dataset("scannet_21_panoptic_val", {"IMAGE_SIZE": 64}, "val")
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    assert item["valid"][:2].all() and not item["valid"][2:].any()
+    assert item["labels"][0] == 0 and item["labels"][1] == 12
+    assert len(get_class_names("scannet_21_panoptic_val")) == 21
+
+    ds = build_dataset("bdd10k_40_panoptic_val", {"IMAGE_SIZE": 64}, "val")
+    item = ds[0]
+    assert item["labels"][0] == 6 and item["labels"][1] == 34
+    assert item["valid"][:2].all()
+    names = get_class_names("bdd10k_40_panoptic_val")
+    assert len(names) == 41 and names[34] == "car"
