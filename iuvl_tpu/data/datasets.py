@@ -385,9 +385,18 @@ def _build_coco_val(cfg, split):
 # Loaders
 # --------------------------------------------------------------------- #
 def build_dataset(name: str, cfg: dict | None = None, split: str = "train"):
+    """Fuzzy-resolves reference dataset names onto registered builders (e.g.
+    'coco_2017_train_panoptic_filtall_with_sem_seg_caption_grounding' ->
+    'coco_2017_train_panoptic', 'refcocog_val_umd' -> 'refcocog_val',
+    'pascalvoc_val_Point' -> 'pascalvoc_val'), so the reference's config
+    DATASETS lists work verbatim. The full requested name is passed through
+    cfg['_REQUESTED_NAME'] for builders that parse name suffixes (the VOC
+    interactive prompt mode)."""
     for key, builder in DATASET_REGISTRY.items():
         if name.startswith(key) or key in name:
-            return builder(cfg or {}, split)
+            cfg = dict(cfg or {})
+            cfg.setdefault("_REQUESTED_NAME", name)
+            return builder(cfg, split)
     raise KeyError(f"dataset {name!r} not registered; have {list(DATASET_REGISTRY)}")
 
 

@@ -158,5 +158,14 @@ def _build_voc(cfg, split):
     root = dataset_root()
     if root is None:
         raise FileNotFoundError("$DATASET not set; PASCAL VOC unavailable.")
-    mode = cfg.get("PROMPT_MODE", "Point")
+    mode = cfg.get("PROMPT_MODE")
+    if mode is None:
+        # Reference configs name the eval 'pascalvoc_val_<Mode>' with the
+        # visual-prompt type as the suffix (configs/step1.yaml:26
+        # 'pascalvoc_val_Point'; register_pascalvoc_eval.py).
+        req = cfg.get("_REQUESTED_NAME", "")
+        suffix = req[len("pascalvoc_val_"):] if req.startswith(
+            "pascalvoc_val_") else ""
+        mode = suffix if suffix in (
+            "Point", "Scribble", "Polygon", "Circle", "Box") else "Point"
     return PascalVocInteractiveDataset(root, prompt_mode=mode)

@@ -26,10 +26,13 @@ from __future__ import annotations
 
 import glob
 import json
+import logging
 import os
 from typing import Any
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from .datasets import CocoPanopticDataset, dataset_root, register_dataset
 from .tokenizer import CONTEXT_LEN, build_tokenizer
@@ -52,17 +55,36 @@ class ArrowVlpDataset:
     """pyarrow RecordBatchFile VLP reader (reference load_pretrain_arrows /
     vlp_dataset_mapper.get_image: images stored as jpeg bytes, captions as
     list<str>). Train mode flattens to one (image, caption) pair per
-    caption; val keeps the caption list for retrieval/captioning eval."""
+    caption; val keeps the caption list for retrieval/captioning eval.
+
+    ``files``: explicit arrow basenames for this split (the reference binds
+    a fixed file list per registered name, register_vlp_datasets.py:21-27 —
+    e.g. vlp_val reads only coco_caption_karpathy_test.arrow). Missing named
+    files are skipped; if none exist, falls back to every *.arrow in the dir
+    with a warning (so partial layouts keep working)."""
 
     def __init__(self, arrow_dir: str, image_size=1024, split="train",
-                 tokenizer=None, context_len=CONTEXT_LEN):
+                 tokenizer=None, context_len=CONTEXT_LEN,
+                 files: list[str] | None = None):
         import pyarrow as pa
 
         self.image_size = image_size
         self.split = split
         self.tokenizer = tokenizer or build_tokenizer()
         self.context_len = context_len
-        paths = sorted(glob.glob(os.path.join(arrow_dir, "*.arrow")))
+        paths = []
+        if files:
+            paths = [
+                p for p in (os.path.join(arrow_dir, f) for f in files)
+                if os.path.exists(p)
+            ]
+            if not paths:
+                logger.warning(
+                    "none of the named arrow files %s exist under %s; "
+                    "falling back to all *.arrow", files, arrow_dir,
+                )
+        if not paths:
+            paths = sorted(glob.glob(os.path.join(arrow_dir, "*.arrow")))
         if not paths:
             raise FileNotFoundError(f"no .arrow files under {arrow_dir}")
         self.tables = [
@@ -120,12 +142,50 @@ def _arrow_dir() -> str | None:
 from .datasets import DATASET_REGISTRY  # noqa: E402
 
 
+# Per-name arrow file lists (reference register_{vlp,instruction,instp}_
+# datasets.py _PREDEFINED_SPLITS_PRETRAIN): each registered name reads a
+# FIXED set of arrows — vlp_train must not sweep up the val/test arrows and
+# vice versa.
+VLP_ARROW_FILES: dict[str, list[str]] = {
+    "vlp_train": (
+        ["filtrefval2017_coco_caption_karpathy_restval.arrow",
+         "filtrefval2017_coco_caption_karpathy_train.arrow",
+         "filtrefval2017_coco_caption_karpathy_val.arrow",
+         "code224_vg.arrow"]
+        + [f"code224_sbu_{i}.arrow" for i in range(9)]
+        + [f"code224_conceptual_caption_train_{i}.arrow" for i in range(30)]
+    ),
+    "vlp_val": ["coco_caption_karpathy_test.arrow"],
+    "vlp_captioning_val": ["coco_caption_karpathy_test.arrow"],
+    "vlp_val2017": ["coco_caption_karpathy_val2017.arrow"],
+    "vlp_captioning_val2017": ["coco_caption_karpathy_val2017.arrow"],
+    "instruction_val": ["coco_caption_karpathy_test.arrow"],
+    "instruction_captioning_val": ["coco_caption_karpathy_test.arrow"],
+    "instruction_val2017": ["coco_caption_karpathy_val2017.arrow"],
+    "instruction_captioning_val2017": ["coco_caption_karpathy_val2017.arrow"],
+    "instp_val": ["coco_caption_karpathy_test.arrow"],
+    "instp_captioning_val": ["coco_caption_karpathy_test.arrow"],
+    "instp_val2017": ["coco_caption_karpathy_val2017.arrow"],
+    "instp_captioning_val2017": ["coco_caption_karpathy_val2017.arrow"],
+}
+
+
 def _build_vlp_real_or_synthetic(cfg, split):
     d = _arrow_dir()
     if d is not None:
+        name = cfg.get("_REQUESTED_NAME", "")
+        # Longest key first: 'vlp_val2017' must not resolve to 'vlp_val'.
+        files = next(
+            (v for k, v in sorted(
+                VLP_ARROW_FILES.items(), key=lambda kv: -len(kv[0])
+            ) if name.startswith(k)),
+            None,
+        )
         return ArrowVlpDataset(
-            d, image_size=cfg.get("IMAGE_SIZE", 1024), split=split,
-            context_len=cfg.get("CONTEXT_LEN", CONTEXT_LEN),
+            d, image_size=cfg.get("IMAGE_SIZE", 1024),
+            split="train" if name.endswith("_train") or split == "train"
+            else "val",
+            context_len=cfg.get("CONTEXT_LEN", CONTEXT_LEN), files=files,
         )
     from .vlp_datasets import SyntheticVlpDataset
 
@@ -136,6 +196,15 @@ def _build_vlp_real_or_synthetic(cfg, split):
 
 DATASET_REGISTRY["vlp_train"] = _build_vlp_real_or_synthetic
 DATASET_REGISTRY["vlp_val"] = _build_vlp_real_or_synthetic
+# Retrieval/captioning eval variants over the karpathy-split arrows
+# (reference registers all of these; the *captioning* names dispatch to the
+# captioning evaluator via hook_switcher, the rest to retrieval).
+for _n in ("vlp_captioning_val", "vlp_val2017", "vlp_captioning_val2017",
+           "instruction_val", "instruction_captioning_val",
+           "instruction_val2017", "instruction_captioning_val2017",
+           "instp_val", "instp_captioning_val", "instp_val2017",
+           "instp_captioning_val2017"):
+    DATASET_REGISTRY[_n] = _build_vlp_real_or_synthetic
 
 
 # --------------------------------------------------------------------- #

@@ -9,6 +9,7 @@ Parity target: /root/reference/pipeline/XDecoderPipeline.py (:38-153) —
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any
 
 import jax
@@ -43,6 +44,12 @@ def hook_switcher(dataset_name: str) -> dict[str, bool]:
         return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
                 "mode": "captioning"}
     if "retrieval" in n:
+        return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
+                "mode": "retrieval"}
+    if "vlp" in n or "instp" in n or "instruction" in n:
+        # Reference evaluator_mapper: vlp_val/instp_val/instruction_val ->
+        # 'retrieval' (register_vlp_datasets.py:39; the *_captioning_*
+        # variants were already caught by the 'caption' check above).
         return {"semantic_on": False, "instance_on": False, "panoptic_on": False,
                 "mode": "retrieval"}
     if "imagenet" in n or "classification" in n:
@@ -410,6 +417,17 @@ class XDecoderPipeline:
             ious = np.asarray(ious)
             for k in range(ious.shape[1]):
                 evaluator.process(ious[:, k])
+        save_dir = self.cfg.get("SAVE_DIR")
+        if save_dir and evaluator.trajectories:
+            # Reference interactive_evaluation.py:87-113 saves an
+            # IoU-vs-clicks curve image alongside the metrics.
+            from .utils.visualizer import iou_curve_png
+
+            os.makedirs(save_dir, exist_ok=True)
+            iou_curve_png(
+                np.stack(evaluator.trajectories),
+                os.path.join(save_dir, f"{name}_iou_curve.png"),
+            )
         return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
 
     def _evaluate_captioning(self, params, name, max_batches=None):

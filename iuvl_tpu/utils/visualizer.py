@@ -128,7 +128,8 @@ def iou_curve_png(ious: np.ndarray, path: str):
 
     ious = np.asarray(ious)
     fig, ax = plt.subplots(figsize=(5, 4))
-    mean = ious.mean(-1) if ious.ndim == 2 else ious
+    # (N samples, C clicks) -> per-click mean over samples.
+    mean = ious.mean(0) if ious.ndim == 2 else ious
     ax.plot(np.arange(1, len(mean) + 1), mean, marker="o")
     ax.set_xlabel("clicks")
     ax.set_ylabel("mIoU")

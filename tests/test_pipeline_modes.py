@@ -35,12 +35,17 @@ def test_grounding_eval_mode(pipeline_and_params):
     assert any(k.endswith("precision@0.5") for k in metrics)
 
 
-def test_interactive_eval_mode(pipeline_and_params):
+def test_interactive_eval_mode(pipeline_and_params, tmp_path):
     pipe, params = pipeline_and_params
     pipe.cfg["DATASETS"] = {"TEST": ["synthetic_interactive"]}
+    pipe.cfg["SAVE_DIR"] = str(tmp_path)
     metrics = pipe.evaluate_model(params, max_batches=2)
+    pipe.cfg.pop("SAVE_DIR")
     assert any("NoC@" in k for k in metrics), metrics
     assert any("mIoU@" in k for k in metrics)
+    # Reference interactive_evaluation.py:87-113 saves an IoU-vs-clicks
+    # curve image alongside the metrics.
+    assert (tmp_path / "synthetic_interactive_iou_curve.png").exists()
 
 
 def test_captioning_eval_mode(pipeline_and_params):

@@ -341,3 +341,83 @@ def test_scannet_and_bdd_panoptic_json(tmp_path, monkeypatch):
     assert item["valid"][:2].all()
     names = get_class_names("bdd10k_40_panoptic_val")
     assert len(names) == 41 and names[34] == "car"
+
+
+def test_reference_dataset_name_aliases(tmp_path, monkeypatch):
+    """Reference configs name datasets with suffixes
+    ('pascalvoc_val_Point', 'refcocog_val_umd', ...); build_dataset must
+    resolve them onto the registered builders and thread the full name so
+    the VOC interactive builder can parse the prompt mode."""
+    from iuvl_tpu.data.datasets import build_dataset
+
+    base = tmp_path / "VOCdevkit" / "VOC2012"
+    _jpg(str(base / "JPEGImages" / "2007_000001.jpg"))
+    obj = np.zeros((40, 56), np.uint8)
+    obj[5:20, 5:25] = 1
+    _png(str(base / "SegmentationObject" / "2007_000001.png"), obj)
+    os.makedirs(str(base / "ImageSets" / "Segmentation"))
+    with open(str(base / "ImageSets" / "Segmentation" / "val.txt"), "w") as f:
+        f.write("2007_000001\n")
+    monkeypatch.setenv("DATASET", str(tmp_path))
+
+    ds = build_dataset("pascalvoc_val_Scribble", {"IMAGE_SIZE": 64}, "val")
+    assert ds.sampler.modes == ("Scribble",)
+    ds = build_dataset("pascalvoc_val_Box", {"IMAGE_SIZE": 64}, "val")
+    assert ds.sampler.modes == ("Box",)
+    # Bare name / explicit cfg still works, default Point.
+    ds = build_dataset("pascalvoc_val", {"IMAGE_SIZE": 64}, "val")
+    assert ds.sampler.modes == ("Point",)
+    item = ds[0]
+    assert item["gt_masks"].shape[0] == 1
+
+
+def test_vlp_named_arrow_files(tmp_path, monkeypatch):
+    """Each registered VLP/instruction name reads its FIXED arrow file list
+    (reference _PREDEFINED_SPLITS_PRETRAIN): vlp_val must not sweep up the
+    train or val2017 arrows, and the *_captioning_* / *_val names dispatch
+    to the captioning / retrieval evaluators."""
+    import io
+
+    import pyarrow as pa
+    from PIL import Image
+
+    from iuvl_tpu.data.datasets import build_dataset
+    from iuvl_tpu.pipeline import hook_switcher
+
+    def write_arrow(path, caption):
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.random.RandomState(0).rand(30, 40, 3) * 255).astype(np.uint8)
+        ).save(buf, format="JPEG")
+        tbl = pa.table({
+            "image": [buf.getvalue()],
+            "caption": [[caption]],
+            "image_id": ["x.jpg"],
+        })
+        with pa.OSFile(str(path), "wb") as sink:
+            with pa.ipc.new_file(sink, tbl.schema) as w:
+                w.write_table(tbl)
+
+    d = tmp_path / "pretrain_arrows_code224"
+    d.mkdir()
+    write_arrow(d / "coco_caption_karpathy_test.arrow", "test split")
+    write_arrow(d / "coco_caption_karpathy_val2017.arrow", "val2017 split")
+    write_arrow(d / "code224_vg.arrow", "train split")
+    monkeypatch.setenv("DATASET2", str(tmp_path))
+
+    assert build_dataset("vlp_val", {"IMAGE_SIZE": 64}, "val")[0][
+        "caption"] == "test split"
+    assert build_dataset("vlp_val2017", {"IMAGE_SIZE": 64}, "val")[0][
+        "caption"] == "val2017 split"
+    assert build_dataset("vlp_captioning_val", {"IMAGE_SIZE": 64}, "val")[0][
+        "caption"] == "test split"
+    assert build_dataset("instp_captioning_val2017", {"IMAGE_SIZE": 64},
+                         "val")[0]["caption"] == "val2017 split"
+    # vlp_train: only code224_vg.arrow of its list exists here.
+    assert build_dataset("vlp_train", {"IMAGE_SIZE": 64}, "train")[0][
+        "caption"] == "train split"
+
+    assert hook_switcher("vlp_val")["mode"] == "retrieval"
+    assert hook_switcher("instruction_val2017")["mode"] == "retrieval"
+    assert hook_switcher("vlp_captioning_val")["mode"] == "captioning"
+    assert hook_switcher("instp_captioning_val2017")["mode"] == "captioning"
