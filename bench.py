@@ -25,9 +25,21 @@ import json
 import time
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the bench host is a 1-CPU VM, so cold
+    compiles of the 1024^2 programs dominate wall clock; repeat runs (the
+    driver re-runs bench.py every round) skip compilation entirely."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from iuvl_tpu.models.sam.build import Sam, SamConfig
 
