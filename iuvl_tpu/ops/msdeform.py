@@ -60,13 +60,24 @@ def ms_deform_attn_core(
     the real bottleneck (gather row issue rate) directly in XLA.
     """
     if impl == "auto":
-        # 'hybrid' (Pallas one-hot matmul for small levels) wins in
-        # isolation (res5 6.94 -> 4.60 ms) but LOSES composed into the full
-        # 3-level layer (22.0 -> 27.0 ms/layer, evaluate_seg 167 -> 212 ms
-        # — measured v5e; pallas_call scheduling interaction with the
-        # neighboring gathers). Auto therefore stays on 'wide'; 'hybrid'
-        # remains selectable for future re-measurement.
+        # Two alternatives win ISOLATED but lose COMPOSED into the model
+        # (both kept selectable, oracle + grad tested):
+        # - 'hybrid' (Pallas one-hot matmul for small levels): res5 6.94 ->
+        #   4.60 ms isolated, 22.0 -> 27.0 ms/layer composed.
+        # - 'scan' (per-level gathers as lax.scan steps over stacked padded
+        #   maps): 247M vs 72M rows/s on UNIFORM-random 688k-row gathers
+        #   (scripts/bench_gather_scanlen.py — the while-loop lowering
+        #   stages the operand and pipelines the gather), but evaluate_seg
+        #   155.9 -> 193.3 ms composed (scripts/bench_msdeform_impl.py):
+        #   real sampling locations are reference-point-local, so the flat
+        #   gather already runs far above its uniform-random rate while the
+        #   scan pays stack/pad materialization and loses fusion with the
+        #   weighted reduce.
         impl = "wide"
+    if impl == "scan":
+        return _ms_deform_attn_scan(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
     if impl == "hybrid":
         # wide gather for large levels + Pallas one-hot matmul for levels
         # whose table fits VMEM (ops/pallas/onehot_gather.py): replaces the
@@ -348,6 +359,80 @@ def _level_onehot_bwd(hl, wl, res, g):
 
 
 _level_contribution_onehot.defvjp(_level_onehot_fwd, _level_onehot_bwd)
+
+
+def _ms_deform_attn_scan(value, spatial_shapes, sampling_locations,
+                         attention_weights):
+    """Wide-formulation deformable sampling with the per-level gathers run
+    as steps of ONE lax.scan over stacked (padded) per-level value maps.
+
+    Identical math to impl='wide' (same _wide_idx_wslot slot weights, same
+    shifted-concat maps); only the gather scheduling differs. Measured v5e
+    (scripts/bench_gather_scanlen.py, res3-shaped 688k-row gathers, bf16):
+    247M rows/s per scan step vs 72M rows/s for the same gather as a plain
+    op on UNIFORM-RANDOM indices — the while-loop lowering dynamic-slices
+    the step's operand out of the stacked buffer and pipelines the gather;
+    the unrolled form doesn't.
+
+    NEGATIVE RESULT composed into the model (scripts/bench_msdeform_impl.py,
+    1024^2 bf16 evaluate_seg): 155.9 ('wide') -> 193.3 ms ('scan'). Real
+    deformable sampling locations are local to their reference points, so
+    the flat gather already runs far above its uniform-random rate, while
+    this path pays the stack/pad materialization and loses fusion of the
+    weighted reduce with the gather. Kept selectable for workloads with
+    scattered access patterns; 'auto' stays on 'wide'.
+    """
+    b, s, nh, d = value.shape
+    lq = sampling_locations.shape[1]
+    p = sampling_locations.shape[4]
+    level_sizes = [h * w for h, w in spatial_shapes]
+    assert sum(level_sizes) == s, (spatial_shapes, s)
+    hw_max = max(level_sizes)
+
+    v = value.transpose(0, 2, 1, 3)  # (B, nh, S, d)
+    ops, idxs, wts = [], [], []
+    base = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, nh, lq, p), 0)
+        * (nh * hw_max)
+        + jax.lax.broadcasted_iota(jnp.int32, (b, nh, lq, p), 1) * hw_max
+    )
+    start = 0
+    for lvl, (hl, wl) in enumerate(spatial_shapes):
+        v_l = jax.lax.slice_in_dim(v, start, start + hl * wl, axis=2)
+        start += hl * wl
+        loc = sampling_locations[:, :, :, lvl]  # (B, Lq, nh, P, 2)
+        x = loc[..., 0].transpose(0, 2, 1, 3) * wl - 0.5
+        y = loc[..., 1].transpose(0, 2, 1, 3) * hl - 0.5
+        aw = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
+        idx, wslot = _wide_idx_wslot(v.dtype, hl, wl, x, y)
+        v4 = _wide_map(v_l, wl)  # (B, nh, HWl, 4d)
+        pad = hw_max - hl * wl
+        if pad:
+            v4 = jnp.pad(v4, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        ops.append(v4.reshape(b * nh * hw_max, 4 * d))
+        idxs.append((base + idx).reshape(-1))
+        # Fold the attention weight into the slot weights (fp32), matching
+        # the wide path's sampled*(wslot) then *aw contraction order —
+        # multiplication is associative over the p/slot axes.
+        wts.append(wslot * aw.astype(jnp.float32)[..., None])
+
+    ops = jnp.stack(ops)    # (L, B*nh*hw_max, 4d)
+    idxs = jnp.stack(idxs)  # (L, B*nh*Lq*P)
+    wts = jnp.stack(wts)    # (L, B, nh, Lq, P, 4)
+
+    def body(carry, inp):
+        op, ix, wt = inp
+        g = jnp.take(op, ix, axis=0, mode="clip").reshape(
+            b, nh, lq, p, 4, d
+        )
+        contrib = (g.astype(jnp.float32) * wt[..., None]).sum(axis=(3, 4))
+        return carry + contrib, None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((b, nh, lq, d), jnp.float32), (ops, idxs, wts)
+    )
+    out = out.astype(value.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, nh * d)
 
 
 def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,

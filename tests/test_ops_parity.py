@@ -202,3 +202,50 @@ def test_onehot_level_matches_wide():
     )(v, aw)
     for a, b_ in zip(g_fast, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_msdeform_scan_matches_torch_oracle():
+    """'scan' (per-level gathers as lax.scan steps over stacked padded
+    maps) vs the grid_sample oracle, out-of-bounds locations included."""
+    rs = np.random.RandomState(21)
+    shapes = [(8, 12), (4, 6), (2, 3)]
+    S = sum(h * w for h, w in shapes)
+    B, Lq, M, D, L, P = 2, 7, 4, 16, 3, 4
+    value = rs.randn(B, S, M, D).astype(np.float32)
+    loc = rs.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+    w = rs.rand(B, Lq, M, L, P).astype(np.float32)
+    w /= w.reshape(B, Lq, M, -1).sum(-1)[..., None, None]
+
+    ref = _torch_msdeform(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc),
+        torch.from_numpy(w),
+    ).numpy()
+    ours = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(loc),
+                            jnp.asarray(w), impl="scan")
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_msdeform_scan_grad_matches_xla():
+    import jax
+
+    rs = np.random.RandomState(22)
+    shapes = [(4, 4), (2, 2)]
+    S = sum(h * w for h, w in shapes)
+    B, Lq, M, D, L, P = 1, 5, 2, 8, 2, 2
+    value = rs.randn(B, S, M, D).astype(np.float32)
+    loc = rs.uniform(0.05, 0.95, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+    w = rs.rand(B, Lq, M, L, P).astype(np.float32)
+
+    def loss(impl):
+        def f(v, l, a):
+            return ms_deform_attn_core(v, shapes, l, a, impl=impl).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w)
+        )
+
+    g_ref = loss("xla")
+    g_scan = loss("scan")
+    for a, b in zip(g_ref, g_scan):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
