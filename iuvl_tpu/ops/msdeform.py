@@ -78,6 +78,27 @@ def ms_deform_attn_core(
         return _ms_deform_attn_scan(
             value, spatial_shapes, sampling_locations, attention_weights
         )
+    if impl in ("fused", "fused_q", "wide_q"):
+        # Row-order / call-count experiments on the wide formulation (exact
+        # same math; see _ms_deform_attn_fused). BOTH ARE MEASURED NEGATIVE
+        # RESULTS (v5e 1024^2 bf16 evaluate_seg, scripts/bench_msdeform_impl
+        # .py wide wide_q fused fused_q):
+        # - '*_q'   : q-minor gather row order — consecutive rows follow the
+        #             query raster at fixed (head, point), near-sequential
+        #             addresses. 155.8 -> 282.5 ms: the ~1-pixel row stride
+        #             serializes on the same HBM channel/bank, while the
+        #             default p-minor order keeps 4 independent
+        #             neighborhoods in flight per query.
+        # - 'fused*': ONE gather call over all levels' wide maps
+        #             concatenated row-wise (3x fewer gather dispatches).
+        #             155.8 -> 180.7 ms: the row-concat materializes 4x the
+        #             value tensor and the merged gather loses per-level
+        #             fusion with the weighted reduce.
+        # Kept selectable + oracle/grad-tested; 'auto' stays on 'wide'.
+        return _ms_deform_attn_fused(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            qminor=impl.endswith("_q"), fused=impl.startswith("fused"),
+        )
     if impl == "hybrid":
         # wide gather for large levels + Pallas one-hot matmul for levels
         # whose table fits VMEM (ops/pallas/onehot_gather.py): replaces the
@@ -359,6 +380,90 @@ def _level_onehot_bwd(hl, wl, res, g):
 
 
 _level_contribution_onehot.defvjp(_level_onehot_fwd, _level_onehot_bwd)
+
+
+def _ms_deform_attn_fused(value, spatial_shapes, sampling_locations,
+                          attention_weights, qminor: bool = False,
+                          fused: bool = True):
+    """Wide-formulation deformable sampling with reordered/merged gathers.
+
+    Identical math to impl='wide' (same _wide_idx_wslot slot weights, same
+    shifted-concat maps, attention weight folded into the slot weights —
+    multiplication is associative over the p/slot axes); only the gather
+    row ORDER and CALL COUNT differ:
+
+    - qminor: per level the rows iterate (b, nh, P, Lq) instead of
+      (b, nh, Lq, P). Deformable sampling locations are local to their
+      reference points, and reference points follow the query raster, so
+      at fixed (head, point) consecutive rows step ~one map pixel — i.e.
+      near-sequential addresses in the wide map — instead of jumping
+      between the 4 spread-out points of one query.
+    - fused: all levels' wide maps are concatenated row-wise and served by
+      ONE gather (per-level row-base offsets folded into the indices),
+      3x fewer gather dispatches per deformable layer.
+    """
+    b, s, nh, d = value.shape
+    lq = sampling_locations.shape[1]
+    p = sampling_locations.shape[4]
+    level_sizes = [h * w for h, w in spatial_shapes]
+    assert sum(level_sizes) == s, (spatial_shapes, s)
+
+    v = value.transpose(0, 2, 1, 3)  # (B, nh, S, d)
+    ops, idxs, wts = [], [], []
+    start = 0
+    row_base = 0
+    for lvl, (hl, wl) in enumerate(spatial_shapes):
+        hw = hl * wl
+        v_l = jax.lax.slice_in_dim(v, start, start + hw, axis=2)
+        start += hw
+        loc = sampling_locations[:, :, :, lvl]  # (B, Lq, nh, P, 2)
+        if qminor:
+            # (B, nh, P, Lq): query minor — raster-sequential row addresses.
+            x = loc[..., 0].transpose(0, 2, 3, 1) * wl - 0.5
+            y = loc[..., 1].transpose(0, 2, 3, 1) * hl - 0.5
+            aw = attention_weights[:, :, :, lvl].transpose(0, 2, 3, 1)
+        else:
+            x = loc[..., 0].transpose(0, 2, 1, 3) * wl - 0.5
+            y = loc[..., 1].transpose(0, 2, 1, 3) * hl - 0.5
+            aw = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
+        idx, wslot = _wide_idx_wslot(v.dtype, hl, wl, x, y)
+        base = (
+            jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0) * (nh * hw)
+            + jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1) * hw
+            + (row_base if fused else 0)  # row offset only in the merged map
+        )
+        row_base += b * nh * hw
+        ops.append(_wide_map(v_l, wl).reshape(b * nh * hw, 4 * d))
+        idxs.append((base + idx).reshape(-1))
+        wts.append(wslot * aw.astype(jnp.float32)[..., None])
+
+    n_lvl = len(spatial_shapes)
+    qp = (p, lq) if qminor else (lq, p)
+    # g dims: (b, nh, qp[0], qp[1], 4 slots, d)
+    paxis, slotaxis = (2, 4) if qminor else (3, 4)
+
+    if fused:
+        allv = jnp.concatenate(ops, axis=0)  # (b*nh*S, 4d)
+        allidx = jnp.concatenate(idxs)
+        g = jnp.take(allv, allidx, axis=0, mode="clip").reshape(
+            n_lvl, b, nh, *qp, 4, d
+        )
+        wt = jnp.stack(wts)  # (L, b, nh, *qp, 4)
+        out = (g.astype(jnp.float32) * wt[..., None]).sum(
+            axis=(0, paxis + 1, slotaxis + 1)
+        )
+    else:
+        out = None
+        for op, ix, wt in zip(ops, idxs, wts):
+            g = jnp.take(op, ix, axis=0, mode="clip").reshape(
+                b, nh, *qp, 4, d
+            )
+            c = (g.astype(jnp.float32) * wt[..., None]).sum(
+                axis=(paxis, slotaxis)
+            )  # (b, nh, Lq, d)
+            out = c if out is None else out + c
+    out = out.astype(value.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, nh * d)
 
 
 def _ms_deform_attn_scan(value, spatial_shapes, sampling_locations,

@@ -19,7 +19,9 @@ def chain(fn, iters):
 
 
 def main():
-    cfg = SamConfig(dtype="bfloat16", attn_impl="auto")
+    import sys
+    impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    cfg = SamConfig(dtype="bfloat16", attn_impl=impl)
     model = Sam(cfg=cfg)
     img0 = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
     pts1 = jnp.zeros((1, 1, 2), jnp.float32)
@@ -42,7 +44,7 @@ def main():
         b1 = min(b1, time.perf_counter() - t0)
         t0 = time.perf_counter(); float(runk(params, img))
         bk = min(bk, time.perf_counter() - t0)
-    print(f"encode: {(bk - b1) / 8 * 1e3:.2f} ms")
+    print(f"encode[{impl}]: {(bk - b1) / 8 * 1e3:.2f} ms")
 
 
 if __name__ == "__main__":

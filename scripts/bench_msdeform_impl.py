@@ -27,7 +27,8 @@ def main():
     images0 = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, 1024, 1024, 3)) * 255
     params = None
-    for impl in ("wide", "scan"):
+    impls = sys.argv[1:] or ["wide", "scan"]
+    for impl in impls:
         cfg = SysLearnerConfig(
             sam_size="base", img_size=1024, dtype="bfloat16",
             attn_impl="auto", msdeform_impl=impl,

@@ -355,3 +355,92 @@ def test_relpos_flash_grad_matches_naive():
     for a, b_ in zip(g_p, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-4, rtol=1e-4)
+
+
+def _block_inputs(win=5, heads=3, d=16, nw=6, seed=13):
+    rs = np.random.RandomState(seed)
+    n, c = win * win, heads * d
+    xw = jnp.asarray(rs.randn(nw, n, c).astype(np.float32) * 0.5)
+    wqkv = jnp.asarray(rs.randn(c, 3 * c).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rs.randn(3 * c).astype(np.float32) * 0.1)
+    wo = jnp.asarray(rs.randn(c, c).astype(np.float32) * 0.1)
+    bo = jnp.asarray(rs.randn(c).astype(np.float32) * 0.1)
+    rph = jnp.asarray(rs.randn(2 * win - 1, d).astype(np.float32) * 0.2)
+    rpw = jnp.asarray(rs.randn(2 * win - 1, d).astype(np.float32) * 0.2)
+    return xw, wqkv, bqkv, wo, bo, rph, rpw
+
+
+def test_window_block_kernel_interpret_matches_xla():
+    """Whole-attention window kernel (qkv proj + rel-pos attention + out
+    proj fused) vs the XLA composition of its tested parts."""
+    from iuvl_tpu.ops.pallas import window_block as wb
+
+    win, heads = 5, 3
+    xw, wqkv, bqkv, wo, bo, rph, rpw = _block_inputs(win=win, heads=heads)
+    ref = wb._block_xla(xw, wqkv, bqkv, wo, bo, rph, rpw, win, heads)
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    wb.pl.pallas_call = interp
+    try:
+        out = wb.window_attention_block(
+            xw, wqkv, bqkv, wo, bo, rph, rpw, win, heads)
+    finally:
+        wb.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_window_block_kernel_grad_matches_xla():
+    from iuvl_tpu.ops.pallas import window_block as wb
+
+    win, heads = 4, 2
+    xw, wqkv, bqkv, wo, bo, rph, rpw = _block_inputs(
+        win=win, heads=heads, nw=4, seed=14)
+
+    def loss_kernel():
+        def f(x_, wq_, rh_):
+            return (wb.window_attention_block(
+                x_, wq_, bqkv, wo, bo, rh_, rpw, win, heads) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(xw, wqkv, rph)
+
+    def loss_xla():
+        def f(x_, wq_, rh_):
+            return (wb._block_xla(
+                x_, wq_, bqkv, wo, bo, rh_, rpw, win, heads) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(xw, wqkv, rph)
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    wb.pl.pallas_call = interp
+    try:
+        g_k = loss_kernel()
+    finally:
+        wb.pl.pallas_call = orig
+    g_ref = loss_xla()
+    for a, b_ in zip(g_k, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_attention_module_block_impl_falls_back_off_tpu():
+    """attn_impl='block' on CPU must match the xla path bit-for-bit (the
+    fused kernel only engages on a TPU backend)."""
+    from iuvl_tpu.models.sam.image_encoder import Attention
+
+    rs = np.random.RandomState(15)
+    x = jnp.asarray(rs.randn(2, 5, 5, 48).astype(np.float32))
+    mod_x = Attention(dim=48, num_heads=3, input_size=(5, 5), attn_impl="xla")
+    mod_b = Attention(dim=48, num_heads=3, input_size=(5, 5), attn_impl="block")
+    params = mod_x.init(jax.random.PRNGKey(0), x)
+    out_x = mod_x.apply(params, x)
+    out_b = mod_b.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_x), atol=1e-6)

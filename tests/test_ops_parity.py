@@ -249,3 +249,52 @@ def test_msdeform_scan_grad_matches_xla():
     g_scan = loss("scan")
     for a, b in zip(g_ref, g_scan):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["wide_q", "fused", "fused_q"])
+def test_msdeform_order_variants_match_torch_oracle(impl):
+    """The gather row-order/call-count variants (q-minor ordering, fused
+    cross-level gather) vs the grid_sample oracle, out-of-bounds included."""
+    rs = np.random.RandomState(31)
+    shapes = [(8, 12), (4, 6), (2, 3)]
+    S = sum(h * w for h, w in shapes)
+    B, Lq, M, D, L, P = 2, 7, 4, 16, 3, 4
+    value = rs.randn(B, S, M, D).astype(np.float32)
+    loc = rs.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+    w = rs.rand(B, Lq, M, L, P).astype(np.float32)
+    w /= w.reshape(B, Lq, M, -1).sum(-1)[..., None, None]
+
+    ref = _torch_msdeform(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc),
+        torch.from_numpy(w),
+    ).numpy()
+    ours = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(loc),
+                            jnp.asarray(w), impl=impl)
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["wide_q", "fused", "fused_q"])
+def test_msdeform_order_variants_grad_matches_xla(impl):
+    import jax
+
+    rs = np.random.RandomState(32)
+    shapes = [(4, 4), (2, 2)]
+    S = sum(h * w for h, w in shapes)
+    B, Lq, M, D, L, P = 1, 5, 2, 8, 2, 2
+    value = rs.randn(B, S, M, D).astype(np.float32)
+    loc = rs.uniform(0.05, 0.95, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+    w = rs.rand(B, Lq, M, L, P).astype(np.float32)
+
+    def loss(impl_):
+        def f(v, l, a):
+            return ms_deform_attn_core(v, shapes, l, a, impl=impl_).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w)
+        )
+
+    g_ref = loss("xla")
+    g_new = loss(impl)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
