@@ -180,6 +180,20 @@ class Attention(nn.Module):
         return out @ wo.astype(self.dtype) + bo.astype(self.dtype)
 
 
+class _LayerNormParams(nn.Module):
+    """Parameter container with nn.LayerNorm's exact tree (scale + bias,
+    default inits) — same role as _DenseParams: one checkpoint layout
+    whether a config runs the flax-op path or a fused Pallas kernel."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
 class Block(nn.Module):
     """Pre-norm transformer block with optional windowing.
     Reference: sam/modeling/image_encoder.py:134-197."""
@@ -194,8 +208,14 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ...ops.pallas.mlp_block import _tail_xla, block_tail
+
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        # Cast to the working dtype BEFORE the window transpose: the
+        # partition permutation commutes with the cast, and moving it here
+        # halves the transpose's HBM traffic (fp32 -> bf16).
+        y = y.astype(self.dtype)
         if self.window_size > 0:
             h, w = y.shape[1], y.shape[2]
             y, pad_hw = window_partition(y, self.window_size)
@@ -214,13 +234,24 @@ class Block(nn.Module):
         )(y)
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, pad_hw, (h, w))
-        x = shortcut + y
 
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_lin1")(y)
-        y = gelu(y)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_lin2")(y)
-        return x + y
+        # Block tail (residual + norm2 + MLP + residual) through the ops
+        # module: one fused Pallas call on TPU bf16 (ops/pallas/mlp_block),
+        # the numerics-identical XLA composition otherwise.
+        hidden = int(self.dim * self.mlp_ratio)
+        scale, bias = _LayerNormParams(self.dim, name="norm2")()
+        w1, b1 = _DenseParams(hidden, self.dim, name="mlp_lin1")()
+        w2, b2 = _DenseParams(self.dim, hidden, name="mlp_lin2")()
+        use_tail = (
+            self.dtype == jnp.bfloat16
+            and self.attn_impl in ("auto", "block")
+            and jax.default_backend() == "tpu"
+        )
+        fn = block_tail if use_tail else _tail_xla
+        b_, h_, w_, c_ = x.shape
+        out = fn(shortcut.reshape(-1, c_), y.reshape(-1, c_),
+                 scale, bias, w1, b1, w2, b2)
+        return out.reshape(b_, h_, w_, c_)
 
 
 class SimpleFPN(nn.Module):

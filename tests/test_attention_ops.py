@@ -444,3 +444,102 @@ def test_attention_module_block_impl_falls_back_off_tpu():
     out_x = mod_x.apply(params, x)
     out_b = mod_b.apply(params, x)
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_x), atol=1e-6)
+
+
+def _tail_inputs(t=48, c=32, hidden=128, seed=21, dtype=np.float32):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray((rs.randn(t, c) * 0.5).astype(dtype))
+    a = jnp.asarray((rs.randn(t, c) * 0.5).astype(dtype))
+    scale = jnp.asarray(1.0 + 0.1 * rs.randn(c).astype(np.float32))
+    bias = jnp.asarray(0.1 * rs.randn(c).astype(np.float32))
+    w1 = jnp.asarray((rs.randn(c, hidden) * 0.1).astype(np.float32))
+    b1 = jnp.asarray((rs.randn(hidden) * 0.1).astype(np.float32))
+    w2 = jnp.asarray((rs.randn(hidden, c) * 0.1).astype(np.float32))
+    b2 = jnp.asarray((rs.randn(c) * 0.1).astype(np.float32))
+    return x, a, scale, bias, w1, b1, w2, b2
+
+
+def test_block_tail_kernel_interpret_matches_xla():
+    """Fused residual+LN+MLP+residual tail kernel vs the flax-math XLA
+    composition (interpret mode)."""
+    from iuvl_tpu.ops.pallas import mlp_block as mb
+
+    args = _tail_inputs()
+    ref = mb._tail_xla(*args)
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    mb.pl.pallas_call = interp
+    try:
+        out = mb.block_tail(*args)
+    finally:
+        mb.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_block_tail_kernel_interpret_matches_xla_bf16():
+    from iuvl_tpu.ops.pallas import mlp_block as mb
+
+    args = _tail_inputs(seed=22)
+    args = tuple(t.astype(jnp.bfloat16) if i < 2 else t
+                 for i, t in enumerate(args))
+    ref = mb._tail_xla(*args)
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    mb.pl.pallas_call = interp
+    try:
+        out = mb.block_tail(*args)
+    finally:
+        mb.pl.pallas_call = orig
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=1e-2, rtol=1e-2)
+
+
+def test_block_tail_grad_matches_xla():
+    from iuvl_tpu.ops.pallas import mlp_block as mb
+
+    x, a, scale, bias, w1, b1, w2, b2 = _tail_inputs(seed=23)
+
+    def run(fn):
+        def f(x_, a_, sc_, w1_):
+            return (fn(x_, a_, sc_, bias, w1_, b1, w2, b2) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3))(x, a, scale, w1)
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a_, **kw):
+        kw["interpret"] = True
+        return orig(*a_, **kw)
+
+    mb.pl.pallas_call = interp
+    try:
+        g_k = run(mb.block_tail)
+    finally:
+        mb.pl.pallas_call = orig
+    g_ref = run(mb._tail_xla)
+    for ga, gb in zip(g_k, g_ref):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
+
+
+def test_block_tail_odd_rows_falls_back():
+    """Token counts not divisible by any row-chunk candidate fall back to
+    the XLA tail inside the op (no pallas_call)."""
+    from iuvl_tpu.ops.pallas import mlp_block as mb
+
+    args = _tail_inputs(t=49, seed=24)
+    out = mb.block_tail(*args)
+    ref = mb._tail_xla(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
