@@ -828,3 +828,367 @@ def _flash_rp_bwd_rule(res, g):
 
 
 flash_attention_relpos.defvjp(_flash_rp_fwd_rule, _flash_rp_bwd_rule)
+
+
+# --------------------------------------------------------------------- #
+# row-bias variant: relw folded into the (already-padded) QK contraction,
+# relh applied as VPU adds
+# --------------------------------------------------------------------- #
+# Both prior routes pay real MXU work for the decomposed bias: the
+# augmented path contracts K=192 (padded to 256 — 2x the K=64-padded qk),
+# and the in-kernel expander path (flash_attention_relpos above, a
+# measured negative result) pays the same contraction in worse-shaped
+# K=64 matmuls. But on the MXU a K=64 qk matmul is padded to K=128
+# anyway, so 64 contraction lanes are FREE: augmenting q with the relw
+# features (w <= 64 dims) and k with the column one-hot — which is the
+# same static (j % w) pattern for every k block, built in-kernel from an
+# iota, never touching HBM — folds the relw term into the qk matmul at
+# ZERO extra MXU cost. The remaining relh term is constant over each
+# w-wide column group when block_k is a multiple of w, so it reduces to
+# rpk = block_k/w per-group lane broadcasts and one (bq, bk) VPU add —
+# no matmul at all. Net: the score matmul drops from K=256-padded to
+# K=128 (the pv matmul is unchanged), and the backward kernels shrink
+# the same way (dq and drw come out of ONE ds @ k_aug matmul).
+#
+# Requirements (else callers fall back to the augmented route):
+# d + w <= 128, block_k % w == 0, N % block_k == 0 (no key padding).
+
+
+def _rb_onehot_w(bk: int, w: int, dtype):
+    """(bk, w) one-hot of (j % w) — static, built from iotas in-kernel."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (bk, w), 0)
+    a = jax.lax.broadcasted_iota(jnp.int32, (bk, w), 1)
+    return (j % w == a).astype(dtype)
+
+
+def _rb_repeat_cols(rh, w: int):
+    """(bq, rpk) -> (bq, rpk*w): each column broadcast over its w-group."""
+    bq, rpk = rh.shape
+    cols = [jnp.broadcast_to(rh[:, i:i + 1], (bq, w)) for i in range(rpk)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _flash_rb_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref,
+                     acc_ref, m_ref, l_ref, *, emit_lse: bool, w: int):
+    kb = pl.program_id(2)
+    n_kblocks = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    bk = k.shape[0]
+    qa = jnp.concatenate([q, rw_ref[0]], axis=1)  # (bq, d+w)
+    ka = jnp.concatenate([k, _rb_onehot_w(bk, w, k.dtype)], axis=1)
+    s = jax.lax.dot_general(
+        qa, ka, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    s = s + _rb_repeat_cols(rh_ref[0].T.astype(jnp.float32), w)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(kb == n_kblocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+        if emit_lse:
+            lse = (m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30)))[:, 0]
+            lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+
+
+def _flash_rb_bwd_dq_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref,
+                            lse_ref, delta_ref, dq_ref, drw_ref, drh_ref,
+                            dqa_acc, *, w: int, d: int):
+    """dq + drelw from ONE ds @ k_aug matmul (accumulated over k blocks);
+    drelh written per (q block, k block) — each step owns a distinct
+    (bq, rpk) output block, no accumulation needed."""
+    kb = pl.program_id(2)
+    n_kblocks = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dqa_acc[:] = jnp.zeros_like(dqa_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    bk = k.shape[0]
+    rpk = bk // w
+    qa = jnp.concatenate([q, rw_ref[0]], axis=1)
+    ka = jnp.concatenate([k, _rb_onehot_w(bk, w, k.dtype)], axis=1)
+    s = jax.lax.dot_general(
+        qa, ka, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + _rb_repeat_cols(rh_ref[0].T.astype(jnp.float32), w)
+    lse = lse_ref[0, 0, :][:, None]
+    p = jnp.exp(s - lse)
+    do = do_ref[0]
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0, :][:, None])
+    dsc = ds.astype(k.dtype)
+    dqa_acc[:] += jnp.dot(dsc, ka, preferred_element_type=jnp.float32)
+    # drelh: sum ds over each w-wide column group == ds @ G, G (bk, rpk);
+    # written transposed (rpk, bq) — each (qb, kb) step owns a distinct
+    # block of the (bh, n/w, N) drelh output.
+    jg = jax.lax.broadcasted_iota(jnp.int32, (bk, rpk), 0)
+    ig = jax.lax.broadcasted_iota(jnp.int32, (bk, rpk), 1)
+    G = (jg // w == ig).astype(dsc.dtype)
+    drh_ref[0] = jnp.dot(
+        dsc, G, preferred_element_type=jnp.float32).T.astype(drh_ref.dtype)
+
+    @pl.when(kb == n_kblocks - 1)
+    def _finalize():
+        dq_ref[0] = dqa_acc[:, :d].astype(dq_ref.dtype)
+        drw_ref[0] = dqa_acc[:, d:].astype(drw_ref.dtype)
+
+
+def _flash_rb_bwd_dkv_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref,
+                             lse_ref, delta_ref, dk_ref, dv_ref, dk_acc,
+                             dv_acc, *, w: int):
+    qb = pl.program_id(2)
+    n_qblocks = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    bk = k.shape[0]
+    qa = jnp.concatenate([q, rw_ref[0]], axis=1)
+    ka = jnp.concatenate([k, _rb_onehot_w(bk, w, k.dtype)], axis=1)
+    s = jax.lax.dot_general(
+        qa, ka, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + _rb_repeat_cols(rh_ref[0].T.astype(jnp.float32), w)
+    lse = lse_ref[0, 0, :][:, None]
+    p = jnp.exp(s - lse)
+    do = do_ref[0]
+    dv_acc[:] += jnp.dot(
+        p.astype(do.dtype).T, do, preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0, :][:, None])
+    dk_acc[:] += jnp.dot(
+        ds.astype(q.dtype).T, q, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qb == n_qblocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def rowbias_supported(n: int, d: int, hw, block_k: int = 1024) -> bool:
+    h, w = hw
+    block_k = min(block_k, max(128, 1 << (n - 1).bit_length()))
+    return (
+        n == h * w and d + w <= 128 and block_k % w == 0
+        and n % block_k == 0 and n % min(2048, n) == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("w", "block_q", "block_k",
+                                             "return_lse"))
+def _flash_rb_forward(q, k, v, relh, relw, w: int,
+                      block_q: int = 2048, block_k: int = 1024,
+                      return_lse: bool = False):
+    b, h, n, d = q.shape
+    d_v = v.shape[-1]
+    rpk = min(block_k, n) // w
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+
+    qf = q.reshape(b * h, n, d)
+    kf = k.reshape(b * h, n, d)
+    vf = _pad_to(v, 128, 3).reshape(b * h, n, -1)
+    dv_p = vf.shape[-1]
+    # relh passed TRANSPOSED (bh, hh, n): the per-k-block slice (rpk rows)
+    # then lands in sublanes (rpk = block_k/w, 8-divisible at supported
+    # sizes) and the lane dim is the 128-divisible block_q — Mosaic's
+    # lane-dim rule rejects an (block_q, rpk) block with rpk < 128.
+    rhf = relh.astype(q.dtype).reshape(
+        b * h, n, relh.shape[-1]).transpose(0, 2, 1)
+    rwf = relw.astype(q.dtype).reshape(b * h, n, w)
+
+    grid = (b * h, n // block_q, n // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qb, kb: (bh, qb, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, qb, kb: (bh, kb, 0)),
+        pl.BlockSpec((1, block_k, dv_p), lambda bh, qb, kb: (bh, kb, 0)),
+        # relh sliced per k block: bias rows kb*rpk .. (kb+1)*rpk
+        pl.BlockSpec((1, rpk, block_q), lambda bh, qb, kb: (bh, kb, qb)),
+        pl.BlockSpec((1, block_q, w), lambda bh, qb, kb: (bh, qb, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_q, dv_p), lambda bh, qb, kb: (bh, qb, 0)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, qb, kb: (bh, 0, qb)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b * h, n, dv_p), v.dtype),
+        jax.ShapeDtypeStruct((b * h, 8, n), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((block_q, dv_p), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+    ]
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_rb_kernel, emit_lse=return_lse, w=w),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(qf, kf, vf, rhf, rwf)
+    o = out.reshape(b, h, n, dv_p)[..., :d_v]
+    if return_lse:
+        return o, lse[:, 0].reshape(b, h, n)
+    return o
+
+
+@functools.partial(jax.jit, static_argnames=("w", "block_q", "block_k"))
+def _flash_rb_backward(q, k, v, relh, relw, o, lse, g, w: int,
+                       block_q: int = 1024, block_k: int = 1024):
+    b, h, n, d = q.shape
+    d_v = v.shape[-1]
+    hh = relh.shape[-1]
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    rpk = block_k // w
+
+    qf = q.reshape(b * h, n, d)
+    kf = k.reshape(b * h, n, d)
+    vf = _pad_to(v, 128, 3).reshape(b * h, n, -1)
+    dv_p = vf.shape[-1]
+    gf = _pad_to(g, 128, 3).reshape(b * h, n, dv_p)
+    of = _pad_to(o, 128, 3).reshape(b * h, n, dv_p)
+    rhf = relh.astype(q.dtype).reshape(b * h, n, hh).transpose(0, 2, 1)
+    rwf = relw.astype(q.dtype).reshape(b * h, n, w)
+    lsef = jnp.broadcast_to(
+        lse.reshape(b * h, n)[:, None, :], (b * h, 8, n))
+    delta = (gf.astype(jnp.float32) * of.astype(jnp.float32)).sum(-1)
+    delta = jnp.broadcast_to(delta[:, None, :], (b * h, 8, n))
+
+    specs_q = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qb, kb: (bh, qb, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, qb, kb: (bh, kb, 0)),
+        pl.BlockSpec((1, block_k, dv_p), lambda bh, qb, kb: (bh, kb, 0)),
+        pl.BlockSpec((1, rpk, block_q), lambda bh, qb, kb: (bh, kb, qb)),
+        pl.BlockSpec((1, block_q, w), lambda bh, qb, kb: (bh, qb, 0)),
+        pl.BlockSpec((1, block_q, dv_p), lambda bh, qb, kb: (bh, qb, 0)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, qb, kb: (bh, 0, qb)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, qb, kb: (bh, 0, qb)),
+    ]
+    dq, drw, drh = pl.pallas_call(
+        functools.partial(_flash_rb_bwd_dq_kernel, w=w, d=d),
+        grid=(b * h, n // block_q, n // block_k),
+        in_specs=specs_q,
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qb, kb: (bh, qb, 0)),
+            pl.BlockSpec((1, block_q, w), lambda bh, qb, kb: (bh, qb, 0)),
+            # drelh written transposed (bh, hh, n), like the input
+            pl.BlockSpec((1, rpk, block_q), lambda bh, qb, kb: (bh, kb, qb)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n, w), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, hh, n), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_q, d + w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(qf, kf, vf, rhf, rwf, gf, lsef, delta)
+
+    specs_kv = [
+        pl.BlockSpec((1, block_q, d), lambda bh, kb, qb: (bh, qb, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, kb, qb: (bh, kb, 0)),
+        pl.BlockSpec((1, block_k, dv_p), lambda bh, kb, qb: (bh, kb, 0)),
+        pl.BlockSpec((1, rpk, block_q), lambda bh, kb, qb: (bh, kb, qb)),
+        pl.BlockSpec((1, block_q, w), lambda bh, kb, qb: (bh, qb, 0)),
+        pl.BlockSpec((1, block_q, dv_p), lambda bh, kb, qb: (bh, qb, 0)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, kb, qb: (bh, 0, qb)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, kb, qb: (bh, 0, qb)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_rb_bwd_dkv_kernel, w=w),
+        grid=(b * h, n // block_k, n // block_q),
+        in_specs=specs_kv,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, kb, qb: (bh, kb, 0)),
+            pl.BlockSpec((1, block_k, dv_p), lambda bh, kb, qb: (bh, kb, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, n, dv_p), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, dv_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(qf, kf, vf, rhf, rwf, gf, lsef, delta)
+
+    dq, drw, drh, dk, dv = jax.lax.optimization_barrier(
+        (dq, drw, drh, dk, dv))
+    dq = dq.reshape(b, h, n, d)
+    dk = dk.reshape(b, h, n, d)
+    dv = dv.reshape(b, h, n, dv_p)[..., :d_v]
+    drh = drh.transpose(0, 2, 1).reshape(b, h, n, hh).astype(relh.dtype)
+    drw = drw.reshape(b, h, n, w).astype(relw.dtype)
+    return dq, dk, dv, drh, drw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention_rowbias(q, k, v, relh, relw, w: int,
+                            block_q: int = 2048, block_k: int = 1024):
+    """Flash attention with the decomposed rel-pos bias at zero extra MXU
+    cost (see the section comment above). q: PRE-SCALED queries
+    (B, H, N, d); relh/relw: per-query rel-pos features (B, H, N, n/w and
+    B, H, N, w) — <q_unscaled, Rh[row(q), :]> etc., as built by
+    augment_qk_rel_pos; w: the token-grid width. Callers must check
+    rowbias_supported() first."""
+    return _flash_rb_forward(q, k, v, relh, relw, w, block_q, block_k)
+
+
+def _flash_rb_fwd_rule(q, k, v, relh, relw, w, block_q, block_k):
+    o, lse = _flash_rb_forward(q, k, v, relh, relw, w, block_q, block_k,
+                               return_lse=True)
+    return o, (q, k, v, relh, relw, o, lse)
+
+
+def _flash_rb_bwd_rule(w, block_q, block_k, res, g):
+    q, k, v, relh, relw, o, lse = res
+    return _flash_rb_backward(q, k, v, relh, relw, o, lse, g, w,
+                              min(block_q, 1024), block_k)
+
+
+flash_attention_rowbias.defvjp(_flash_rb_fwd_rule, _flash_rb_bwd_rule)

@@ -17,6 +17,8 @@ with static indices so XLA constant-folds them.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,6 +106,49 @@ def augment_qk_rel_pos(
     return q_aug, k_aug
 
 
+def _rowbias_route(q, k, v, rel_pos_h, rel_pos_w, hw):
+    """relw folded into the K=128-padded qk contraction (free lanes),
+    relh as in-kernel VPU adds — no bias matmul at all. See the section
+    comment in ops/pallas/flash_attention.py."""
+    from .pallas.flash_attention import flash_attention_rowbias
+
+    h, w = hw
+    b, heads, n, d = q.shape
+    Rh = rel_pos_table(h, h, rel_pos_h.astype(jnp.float32))
+    Rw = rel_pos_table(w, w, rel_pos_w.astype(jnp.float32))
+    r_q = q.astype(jnp.float32).reshape(b, heads, h, w, d)
+    relh = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh).reshape(
+        b, heads, n, h).astype(q.dtype)
+    relw = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(
+        b, heads, n, w).astype(q.dtype)
+    return flash_attention_rowbias(q * (d ** -0.5), k, v, relh, relw, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _global_attention_gradswitch(q, k, v, rel_pos_h, rel_pos_w, hw):
+    """Implementation-by-differentiation dispatch for global blocks: the
+    primal body (runs when NOT differentiated — serving/eval) uses the
+    rowbias kernel; the fwd/bwd rules (run under jax.grad — training) use
+    the augmented flash path, whose fwd+bwd measures faster. Both compute
+    the same function (each parity-tested vs the materialized oracle)."""
+    return _rowbias_route(q, k, v, rel_pos_h, rel_pos_w, hw)
+
+
+def _gradswitch_fwd(q, k, v, rel_pos_h, rel_pos_w, hw):
+    out, pullback = jax.vjp(
+        lambda q_, k_, v_, rh_, rw_: rel_pos_attention(
+            q_, k_, v_, rh_, rw_, hw, impl="pallas"),
+        q, k, v, rel_pos_h, rel_pos_w)
+    return out, pullback
+
+
+def _gradswitch_bwd(hw, pullback, g):
+    return pullback(g)
+
+
+_global_attention_gradswitch.defvjp(_gradswitch_fwd, _gradswitch_bwd)
+
+
 def rel_pos_attention(
     q: jax.Array,
     k: jax.Array,
@@ -117,20 +162,34 @@ def rel_pos_attention(
 
     q, k, v: (B, heads, N, head_dim) with N == h*w. Returns (B, heads, N, d).
     impl: 'xla' (augmented matmuls), 'xla_naive' (materialized bias oracle),
-    'pallas' (fused flash kernel on augmented qk), 'pallas_rp' (flash with
+    'pallas' (fused flash kernel on augmented qk), 'rowbias' (flash with
+    relw folded into the qk matmul's free K-pad lanes and relh as in-kernel
+    VPU adds — fastest forward, slower fwd+bwd), 'pallas_rp' (flash with
     the bias folded in-kernel — measured slower, see the negative-result
     note below), 'window' (fused windowed kernel building the bias in VMEM,
     ops/pallas/window_attention.py),
-    'auto' (pallas for global-attention blocks N >= 1024 where it measures
-    ~1.6x faster on v5e; the window kernel for square windows on a TPU
-    backend — the augment path's fp32 minor-dim-14 tensors and dim-92
-    concats cost more than the whole attention there; xla otherwise).
+    'auto' (global blocks N >= 1024: grad-switching dispatch — rowbias when
+    not differentiated, the augmented pallas kernel under jax.grad, each
+    where it measures faster on v5e; the window kernel for square windows
+    on a TPU backend — the augment path's fp32 minor-dim-14 tensors and
+    dim-92 concats cost more than the whole attention there; xla otherwise).
     """
     if impl == "xla_naive":
         return _rel_pos_attention_naive(q, k, v, rel_pos_h, rel_pos_w, hw)
     n = q.shape[2]
     if impl == "auto":
         if n >= 1024:
+            from .pallas.flash_attention import rowbias_supported
+
+            if rowbias_supported(n, q.shape[-1], hw):
+                # Grad-switching dispatch: the rowbias kernel wins
+                # forward-only (0.63 vs 1.16 ms/block at 1024^2 bf16) but
+                # loses fwd+bwd (4.67 vs 4.29 ms — the relh/relw einsum
+                # VJPs outweigh the kernel saving), so inference runs the
+                # primal body (rowbias) and differentiation runs the
+                # custom_vjp fwd rule (augmented flash) instead.
+                return _global_attention_gradswitch(
+                    q, k, v, rel_pos_h, rel_pos_w, hw)
             impl = "pallas"
         elif hw[0] == hw[1] and jax.default_backend() == "tpu":
             impl = "window"
@@ -140,6 +199,8 @@ def rel_pos_attention(
         from .pallas.window_attention import window_rel_attention
 
         return window_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw)
+    if impl == "rowbias":
+        return _rowbias_route(q, k, v, rel_pos_h, rel_pos_w, hw)
     if impl == "pallas_rp":
         # NEGATIVE RESULT (v5e, 2026-08): decomposed bias folded INTO the
         # flash kernel — q/k stay head_dim wide and the bias is two small

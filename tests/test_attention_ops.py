@@ -543,3 +543,150 @@ def test_block_tail_odd_rows_falls_back():
     out = mb.block_tail(*args)
     ref = mb._tail_xla(*args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_rowbias_flash_interpret_matches_naive():
+    """Row-bias flash kernel (relw folded into the qk contraction, relh as
+    in-kernel adds) vs the materialized oracle, with multiple q/k blocks
+    so the per-block relh slicing is exercised."""
+    from iuvl_tpu.ops.pallas import flash_attention as fa
+
+    q, k, v, rph, rpw, hw = _inputs(h=4, w=4, heads=2, d=16, b=2, seed=31)
+    ref = rel_pos_attention(q, k, v, rph, rpw, hw, impl="xla_naive")
+
+    from iuvl_tpu.ops.rel_pos_attention import rel_pos_table
+    h, w = hw
+    b, heads, n, d = q.shape
+    Rh = rel_pos_table(h, h, rph.astype(jnp.float32))
+    Rw = rel_pos_table(w, w, rpw.astype(jnp.float32))
+    r_q = q.astype(jnp.float32).reshape(b, heads, h, w, d)
+    relh = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh).reshape(
+        b, heads, n, h).astype(q.dtype)
+    relw = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(
+        b, heads, n, w).astype(q.dtype)
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    fa.pl.pallas_call = interp
+    try:
+        out = fa.flash_attention_rowbias(
+            q * (d ** -0.5), k, v, relh, relw, w, 8, 8)
+    finally:
+        fa.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rowbias_flash_via_impl_matches_naive():
+    """The impl='rowbias' route in rel_pos_attention (whole-array blocks
+    for this size) vs the oracle."""
+    from iuvl_tpu.ops.pallas import flash_attention as fa
+
+    q, k, v, rph, rpw, hw = _inputs(h=6, w=5, heads=2, d=16, b=2, seed=32)
+    ref = rel_pos_attention(q, k, v, rph, rpw, hw, impl="xla_naive")
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    fa.pl.pallas_call = interp
+    try:
+        out = rel_pos_attention(q, k, v, rph, rpw, hw, impl="rowbias")
+    finally:
+        fa.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rowbias_flash_grad_matches_naive():
+    """Fused row-bias backward (dq+drelw from one matmul, per-block drelh
+    outputs, dk/dv) vs oracle grads incl. the rel-pos tables, with
+    multiple q/k blocks."""
+    from iuvl_tpu.ops.pallas import flash_attention as fa
+    from iuvl_tpu.ops.rel_pos_attention import rel_pos_table
+
+    q, k, v, rph, rpw, hw = _inputs(h=4, w=4, heads=2, d=16, b=2, seed=33)
+    h, w = hw
+    b, heads, n, d = q.shape
+
+    def loss_rb(q_, k_, v_, rph_, rpw_):
+        Rh = rel_pos_table(h, h, rph_.astype(jnp.float32))
+        Rw = rel_pos_table(w, w, rpw_.astype(jnp.float32))
+        r_q = q_.astype(jnp.float32).reshape(b, heads, h, w, d)
+        relh = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh).reshape(
+            b, heads, n, h).astype(q_.dtype)
+        relw = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(
+            b, heads, n, w).astype(q_.dtype)
+        return fa.flash_attention_rowbias(
+            q_ * (d ** -0.5), k_, v_, relh, relw, w, 8, 8).sum()
+
+    def loss_ref(q_, k_, v_, rph_, rpw_):
+        return rel_pos_attention(
+            q_, k_, v_, rph_, rpw_, hw, impl="xla_naive").sum()
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    fa.pl.pallas_call = interp
+    try:
+        g_p = jax.grad(loss_rb, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+    finally:
+        fa.pl.pallas_call = orig
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+    for a, b_ in zip(g_p, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_gradswitch_primal_and_grad_match_oracle():
+    """The auto-path grad-switching dispatch: the primal body (rowbias
+    kernel) and the differentiated path (augmented flash via the
+    custom_vjp fwd rule) must both match the materialized oracle."""
+    import importlib
+
+    from iuvl_tpu.ops.pallas import flash_attention as fa
+
+    rpa_mod = importlib.import_module("iuvl_tpu.ops.rel_pos_attention")
+
+    q, k, v, rph, rpw, hw = _inputs(h=4, w=4, heads=2, d=16, b=2, seed=34)
+    ref = rel_pos_attention(q, k, v, rph, rpw, hw, impl="xla_naive")
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    fa.pl.pallas_call = interp
+    try:
+        out = rpa_mod._global_attention_gradswitch(q, k, v, rph, rpw, hw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+        def loss(q_, k_, v_, rh_, rw_):
+            return rpa_mod._global_attention_gradswitch(
+                q_, k_, v_, rh_, rw_, hw).sum()
+
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+    finally:
+        fa.pl.pallas_call = orig
+
+    def loss_ref(q_, k_, v_, rh_, rw_):
+        return rel_pos_attention(q_, k_, v_, rh_, rw_, hw,
+                                 impl="xla_naive").sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-4)
