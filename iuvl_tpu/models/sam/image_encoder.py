@@ -32,7 +32,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.rel_pos_attention import rel_pos_attention
+from ...ops.rel_pos_attention import rel_pos_attention_proj
 
 
 def gelu(x: jax.Array) -> jax.Array:
@@ -165,17 +165,20 @@ class Attention(nn.Module):
 
         if self.use_rel_pos:
             impl = "auto" if self.attn_impl == "block" else self.attn_impl
-            out = rel_pos_attention(
-                q, k, v, rel_pos_h, rel_pos_w, (h, w), impl=impl
-            )
-        else:
-            scale = head_dim ** -0.5
-            attn = jnp.einsum(
-                "bnqd,bnkd->bnqk", q * scale, k, preferred_element_type=jnp.float32
-            )
-            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
+            out = rel_pos_attention_proj(
+                q, k, v, rel_pos_h, rel_pos_w,
+                wo.astype(self.dtype), bo.astype(self.dtype), (h, w),
+                impl=impl,
+            )  # (b, h*w, C) — projection folded (fused kernel on the
+            #    global-block auto path; plain relayout+matmul otherwise)
+            return out.reshape(b, h, w, self.dim)
 
+        scale = head_dim ** -0.5
+        attn = jnp.einsum(
+            "bnqd,bnkd->bnqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return out @ wo.astype(self.dtype) + bo.astype(self.dtype)
 

@@ -1192,3 +1192,135 @@ def _flash_rb_bwd_rule(w, block_q, block_k, res, g):
 
 
 flash_attention_rowbias.defvjp(_flash_rb_fwd_rule, _flash_rb_bwd_rule)
+
+
+# --------------------------------------------------------------------- #
+# row-bias variant with the OUTPUT PROJECTION folded into the finalize
+# --------------------------------------------------------------------- #
+# After the rowbias kernel, the largest global-block piece is the out
+# projection: the (b, heads, n, d) -> (b, n, heads*d) relayout + matmul
+# measures 0.79 ms/block at 1024^2 bf16 (scripts/profile_global_block.py)
+# vs 0.55 ms for the flash kernel itself — the d=64-minor head-major
+# transpose is pure relayout traffic the MXU never sees. Folding the
+# projection into the kernel removes it entirely: the grid becomes
+# (b, qb, head, kb) with head/kb innermost so the projected output block
+# o[b, qb] is revisited on CONSECUTIVE steps; each head's finalize adds
+# (acc/l) @ Wo[head] (a (bq, 128-pad) x (128-pad, C) matmul on rows the
+# kernel already holds in VMEM) into a persistent (bq, C) accumulator,
+# and the very last step writes it once. Net: the kernel writes
+# (b, n, C) instead of (b*heads, n, 128-padded) — half the output
+# traffic — and the relayout + separate matmul dispatch disappear.
+# Forward-only (serving): training dispatches to the augmented route via
+# the grad-switch in ops/rel_pos_attention.py, so no backward kernel.
+
+
+def _flash_rb_proj_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, wo_ref,
+                          bo_ref, o_ref, acc_ref, m_ref, l_ref, pacc_ref,
+                          *, w: int):
+    hd = pl.program_id(2)
+    kb = pl.program_id(3)
+    n_heads = pl.num_programs(2)
+    n_kblocks = pl.num_programs(3)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when((hd == 0) & (kb == 0))
+    def _init_proj():
+        pacc_ref[:] = jnp.broadcast_to(
+            bo_ref[0].astype(jnp.float32)[None, :], pacc_ref.shape)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    bk = k.shape[0]
+    qa = jnp.concatenate([q, rw_ref[0, 0]], axis=1)
+    ka = jnp.concatenate([k, _rb_onehot_w(bk, w, k.dtype)], axis=1)
+    s = jax.lax.dot_general(
+        qa, ka, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + _rb_repeat_cols(rh_ref[0, 0].T.astype(jnp.float32), w)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0, 0], preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(kb == n_kblocks - 1)
+    def _finalize_head():
+        o_head = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            v_ref.dtype)
+        pacc_ref[:] += jnp.dot(
+            o_head, wo_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when((hd == n_heads - 1) & (kb == n_kblocks - 1))
+    def _emit():
+        o_ref[0] = pacc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "block_q", "block_k"))
+def flash_attention_rowbias_proj(q, k, v, relh, relw, wo, bo, w: int,
+                                 block_q: int = 2048, block_k: int = 1024):
+    """Row-bias flash attention with the output projection fused into the
+    finalize: returns ``(b, n, heads*d_v) @ wo + bo`` directly in (b, n, C)
+    layout — no head-major relayout ever hits HBM. q: PRE-SCALED queries
+    (B, H, N, d); relh/relw as for flash_attention_rowbias; wo:
+    (H*d_v, C) projection (pre-cast to the compute dtype); bo: (C,).
+    Forward-only — callers must not differentiate through this (the
+    grad-switch in rel_pos_attention routes training elsewhere)."""
+    b, h, n, d = q.shape
+    d_v = v.shape[-1]
+    c_out = wo.shape[-1]
+    rpk = min(block_k, n) // w
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+
+    vp = _pad_to(v, 128, 3)
+    dv_p = vp.shape[-1]
+    # Zero-pad wo's rows to the padded head width so the finalize matmul
+    # runs on the full 128-lane accumulator (pad rows multiply pad lanes).
+    wo3 = jnp.pad(wo.reshape(h, d_v, c_out), ((0, 0), (0, dv_p - d_v), (0, 0)))
+    bo2 = bo.reshape(1, c_out)
+    # relh passed transposed per k block, as in _flash_rb_forward.
+    rht = relh.astype(q.dtype).transpose(0, 1, 3, 2)
+    rwf = relw.astype(q.dtype)
+
+    grid = (b, n // block_q, h, n // block_k)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bb, qb, hd, kb: (bb, hd, qb, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bb, qb, hd, kb: (bb, hd, kb, 0)),
+        pl.BlockSpec((1, 1, block_k, dv_p), lambda bb, qb, hd, kb: (bb, hd, kb, 0)),
+        pl.BlockSpec((1, 1, rpk, block_q), lambda bb, qb, hd, kb: (bb, hd, kb, qb)),
+        pl.BlockSpec((1, 1, block_q, w), lambda bb, qb, hd, kb: (bb, hd, qb, 0)),
+        pl.BlockSpec((1, dv_p, c_out), lambda bb, qb, hd, kb: (hd, 0, 0)),
+        pl.BlockSpec((1, c_out), lambda bb, qb, hd, kb: (0, 0)),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_flash_rb_proj_kernel, w=w),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, block_q, c_out), lambda bb, qb, hd, kb: (bb, qb, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c_out), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dv_p), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, c_out), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(q, k, vp, rht, rwf, wo3, bo2)
+    return out

@@ -149,6 +149,92 @@ def _gradswitch_bwd(hw, pullback, g):
 _global_attention_gradswitch.defvjp(_gradswitch_fwd, _gradswitch_bwd)
 
 
+def _attn_then_proj(q, k, v, rel_pos_h, rel_pos_w, wo, bo, hw, impl):
+    """Unfused composition: attention, head-major -> token-major relayout,
+    output projection. The oracle (and non-TPU path) for the fused route."""
+    out = rel_pos_attention(q, k, v, rel_pos_h, rel_pos_w, hw, impl=impl)
+    b, heads, n, d = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
+    return out @ wo + bo
+
+
+def _rowbias_proj_route(q, k, v, rel_pos_h, rel_pos_w, wo, bo, hw):
+    from .pallas.flash_attention import flash_attention_rowbias_proj
+
+    h, w = hw
+    b, heads, n, d = q.shape
+    Rh = rel_pos_table(h, h, rel_pos_h.astype(jnp.float32))
+    Rw = rel_pos_table(w, w, rel_pos_w.astype(jnp.float32))
+    r_q = q.astype(jnp.float32).reshape(b, heads, h, w, d)
+    relh = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh).reshape(
+        b, heads, n, h).astype(q.dtype)
+    relw = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(
+        b, heads, n, w).astype(q.dtype)
+    return flash_attention_rowbias_proj(
+        q * (d ** -0.5), k, v, relh, relw, wo, bo, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _global_attention_proj_gradswitch(q, k, v, rel_pos_h, rel_pos_w, wo, bo,
+                                      hw):
+    """Grad-switching dispatch for global blocks INCLUDING the output
+    projection: the primal body (serving/eval) runs the fused
+    rowbias+projection kernel — the (b, heads, n, d) attention output and
+    its head-major relayout never touch HBM; the fwd/bwd rules (training)
+    run the augmented flash path + XLA projection, whose fwd+bwd measures
+    faster (see _global_attention_gradswitch)."""
+    return _rowbias_proj_route(q, k, v, rel_pos_h, rel_pos_w, wo, bo, hw)
+
+
+def _proj_gradswitch_fwd(q, k, v, rel_pos_h, rel_pos_w, wo, bo, hw):
+    out, pullback = jax.vjp(
+        lambda q_, k_, v_, rh_, rw_, wo_, bo_: _attn_then_proj(
+            q_, k_, v_, rh_, rw_, wo_, bo_, hw, "pallas"),
+        q, k, v, rel_pos_h, rel_pos_w, wo, bo)
+    return out, pullback
+
+
+def _proj_gradswitch_bwd(hw, pullback, g):
+    return pullback(g)
+
+
+_global_attention_proj_gradswitch.defvjp(
+    _proj_gradswitch_fwd, _proj_gradswitch_bwd)
+
+
+def rel_pos_attention_proj(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_pos_h: jax.Array,
+    rel_pos_w: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    hw: tuple[int, int],
+    impl: str = "xla",
+) -> jax.Array:
+    """Rel-pos attention + output projection in one op: returns
+    ``(b, n, heads*d_v) @ wo + bo`` in token-major (b, n, C) layout.
+
+    For global blocks under impl='auto' on supported shapes this runs the
+    fused rowbias+projection Pallas kernel when not differentiated (the
+    relayout between attention and projection — measured at 0.79 ms/block,
+    the largest global-block piece — never materializes) and the augmented
+    flash path + XLA projection under jax.grad. All other impls compose
+    rel_pos_attention with the explicit relayout + matmul, numerics
+    unchanged."""
+    n = q.shape[2]
+    if impl == "auto" and n >= 1024:
+        from .pallas.flash_attention import rowbias_supported
+
+        if rowbias_supported(n, q.shape[-1], hw):
+            return _global_attention_proj_gradswitch(
+                q, k, v, rel_pos_h, rel_pos_w, wo, bo, hw)
+        return _attn_then_proj(q, k, v, rel_pos_h, rel_pos_w, wo, bo, hw,
+                               "pallas")
+    return _attn_then_proj(q, k, v, rel_pos_h, rel_pos_w, wo, bo, hw, impl)
+
+
 def rel_pos_attention(
     q: jax.Array,
     k: jax.Array,

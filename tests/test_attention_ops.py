@@ -690,3 +690,119 @@ def test_gradswitch_primal_and_grad_match_oracle():
     for a, b_ in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-4, rtol=1e-4)
+
+
+def test_rowbias_proj_kernel_interpret_matches_oracle():
+    """Fused rowbias+projection kernel (interpret mode) vs the unfused
+    attention -> relayout -> matmul composition, with multiple q/k blocks
+    and multiple heads so the cross-head output accumulation and the
+    per-head Wo slicing are exercised."""
+    from iuvl_tpu.ops.pallas import flash_attention as fa
+    from iuvl_tpu.ops.rel_pos_attention import (
+        _attn_then_proj,
+        rel_pos_table,
+    )
+
+    q, k, v, rph, rpw, hw = _inputs(h=4, w=4, heads=3, d=16, b=2, seed=41)
+    h, w = hw
+    b, heads, n, d = q.shape
+    rs = np.random.RandomState(42)
+    wo = jnp.asarray(rs.randn(heads * d, 24).astype(np.float32) * 0.1)
+    bo = jnp.asarray(rs.randn(24).astype(np.float32) * 0.1)
+    ref = _attn_then_proj(q, k, v, rph, rpw, wo, bo, hw, "xla_naive")
+
+    Rh = rel_pos_table(h, h, rph.astype(jnp.float32))
+    Rw = rel_pos_table(w, w, rpw.astype(jnp.float32))
+    r_q = q.astype(jnp.float32).reshape(b, heads, h, w, d)
+    relh = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh).reshape(
+        b, heads, n, h).astype(q.dtype)
+    relw = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(
+        b, heads, n, w).astype(q.dtype)
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    fa.pl.pallas_call = interp
+    try:
+        out = fa.flash_attention_rowbias_proj(
+            q * (d ** -0.5), k, v, relh, relw, wo, bo, w, 8, 8)
+    finally:
+        fa.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_proj_gradswitch_primal_and_grad_match_oracle():
+    """The proj-inclusive grad-switch: the primal body (fused
+    rowbias+projection kernel) and the differentiated path (augmented
+    flash + XLA projection via the custom_vjp fwd rule) must both match
+    the unfused oracle, including wo/bo grads."""
+    import importlib
+
+    from iuvl_tpu.ops.pallas import flash_attention as fa
+
+    rpa = importlib.import_module("iuvl_tpu.ops.rel_pos_attention")
+
+    q, k, v, rph, rpw, hw = _inputs(h=4, w=4, heads=3, d=16, b=2, seed=43)
+    heads, d = q.shape[1], q.shape[-1]
+    rs = np.random.RandomState(44)
+    wo = jnp.asarray(rs.randn(heads * d, 24).astype(np.float32) * 0.1)
+    bo = jnp.asarray(rs.randn(24).astype(np.float32) * 0.1)
+    ref = rpa._attn_then_proj(q, k, v, rph, rpw, wo, bo, hw, "xla_naive")
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    fa.pl.pallas_call = interp
+    try:
+        out = rpa._global_attention_proj_gradswitch(
+            q, k, v, rph, rpw, wo, bo, hw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+        def loss(q_, k_, v_, rh_, rw_, wo_, bo_):
+            return rpa._global_attention_proj_gradswitch(
+                q_, k_, v_, rh_, rw_, wo_, bo_, hw).sum()
+
+        g = jax.grad(loss, argnums=tuple(range(7)))(
+            q, k, v, rph, rpw, wo, bo)
+    finally:
+        fa.pl.pallas_call = orig
+
+    def loss_ref(q_, k_, v_, rh_, rw_, wo_, bo_):
+        return rpa._attn_then_proj(
+            q_, k_, v_, rh_, rw_, wo_, bo_, hw, "xla_naive").sum()
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(
+        q, k, v, rph, rpw, wo, bo)
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_rel_pos_attention_proj_matches_unfused_xla():
+    """rel_pos_attention_proj with a plain impl must equal the previous
+    module-level composition exactly (same ops, same order)."""
+    from iuvl_tpu.ops.rel_pos_attention import (
+        rel_pos_attention_proj,
+    )
+
+    q, k, v, rph, rpw, hw = _inputs(h=5, w=4, heads=2, d=16, b=1, seed=45)
+    heads, d = q.shape[1], q.shape[-1]
+    rs = np.random.RandomState(46)
+    wo = jnp.asarray(rs.randn(heads * d, 32).astype(np.float32) * 0.1)
+    bo = jnp.asarray(rs.randn(32).astype(np.float32) * 0.1)
+
+    out = rel_pos_attention_proj(q, k, v, rph, rpw, wo, bo, hw, impl="xla")
+    att = rel_pos_attention(q, k, v, rph, rpw, hw, impl="xla")
+    b, h_, n_, d_ = att.shape
+    ref = att.transpose(0, 2, 1, 3).reshape(b, n_, h_ * d_) @ wo + bo
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
