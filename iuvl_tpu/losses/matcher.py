@@ -12,21 +12,28 @@ matmuls on the MXU — no per-image Python loop). Invalid target columns get
 a large constant cost so they absorb leftover queries; their assignments
 are masked out downstream.
 
-The assignment itself has two implementations, selected by
-``set_matcher_impl`` / ``$IUVL_MATCHER_IMPL`` (``auto`` = device on TPU,
+The assignment itself has three implementations, selected by
+``set_matcher_impl`` / ``$IUVL_MATCHER_IMPL`` (``auto`` = jv on TPU,
 host elsewhere):
 
 * ``host`` — ``scipy.linear_sum_assignment`` through ``jax.pure_callback``
   (the reference also assigns on CPU inside the step: matcher.py:158-165).
   Under multi-chip pjit this forces the sharded cost tensor to be gathered
   to host 0 every step and stalls the device pipeline on the round-trip.
+* ``jv`` — Jonker–Volgenant successive shortest augmenting paths on
+  device (the algorithm scipy runs on host), exact in float arithmetic.
+  The default on TPU: 0.6 ms for the train step's 20-lane solve vs the
+  auction's 534-678 ms (scripts/bench_auction.py) — the auction must
+  square the asymmetric problem with dummy persons and runs ~13k tiny
+  latency-bound while_loop iterations, JV scans at most T*Q objects on
+  the raw Q x T problem.
 * ``auction`` — Bertsekas' auction algorithm with epsilon-scaling running
   entirely on device in one ``lax.while_loop`` (vmap/pjit-safe, no host
   sync). Costs are quantized to integers scaled by (T+1), so the final
   epsilon = 1 phase is provably optimal for the quantized costs; the only
   divergence from scipy is tie-breaking within one quantization step
   (``2^-16`` of the finite cost range), which only reorders near-equal-cost
-  assignments.
+  assignments. Kept selectable as a measured-slower alternative.
 """
 
 from __future__ import annotations
@@ -112,7 +119,8 @@ def compute_match_cost(
 
 
 def _auction_single(cost: jax.Array, quant_bits: int = 16,
-                    scale_factor: int = 4, max_iters: int = 200_000) -> jax.Array:
+                    scale_factor: int = 4, max_iters: int = 200_000,
+                    return_iters: bool = False):
     """One instance: (Q, T) float cost -> (T,) assigned query per target.
 
     Forward auction (persons = target columns, objects = query rows) with
@@ -200,16 +208,123 @@ def _auction_single(cost: jax.Array, quant_bits: int = 16,
         owner = jnp.where(reset, -1, owner)
         return prices, owner, assign, new_eps, it + 1
 
-    _, _, assign, _, _ = jax.lax.while_loop(
+    _, _, assign, _, iters = jax.lax.while_loop(
         cond, body, (prices0, owner0, assign0, eps0, jnp.int32(0))
     )
+    if return_iters:
+        return jnp.maximum(assign[:t], 0), iters
     # real persons only; cap-exhaustion safety clamp (normally complete)
     return jnp.maximum(assign[:t], 0)
+
+
+def _auction_single_iters(cost, quant_bits: int = 16, scale_factor: int = 4):
+    """Bench instrumentation: while_loop iteration count of one solve."""
+    return _auction_single(cost, quant_bits, scale_factor,
+                           return_iters=True)[1]
 
 
 def auction_match(cost: jax.Array) -> jax.Array:
     """(B, Q, T) cost -> (B, T): device-side epsilon-scaling auction LSA."""
     return jax.vmap(_auction_single)(jax.lax.stop_gradient(cost))
+
+
+def _jv_single(cost: jax.Array) -> jax.Array:
+    """One instance: (Q, T) float cost -> (T,) assigned query per target.
+
+    Jonker–Volgenant successive shortest augmenting paths with dual
+    potentials (the algorithm scipy's ``linear_sum_assignment`` runs on
+    host): T sequential augmentations, each a Dijkstra ``while_loop`` over
+    the Q objects in the reduced-cost graph, EXACT in float arithmetic —
+    no quantization phase schedule at all. Replaces the epsilon-scaling
+    auction as the default device matcher: the auction must square the
+    asymmetric problem to Q x Q with dummy persons for cross-phase price
+    soundness and then runs ~13k tiny latency-bound while_loop iterations
+    (scripts/bench_auction.py: 507-707 ms for the train step's 20-lane
+    solve, schedule tuning flat), while JV scans at most T*Q objects on
+    the raw Q x T problem — two orders of magnitude fewer iterations.
+    Person potentials are implicit: for a matched tight pair (i0, j0),
+    u[i0] == c[i0, j0] - v[j0], which is all the relaxation needs.
+    vmap-safe (pure lax control flow, per-lane masked fixpoints).
+    """
+    q, t = cost.shape
+    if t > q:
+        raise ValueError(f"jv matcher needs T <= Q, got Q={q} T={t}")
+    cost = cost.astype(jnp.float32)
+    cost = jnp.where(jnp.isnan(cost), BIG_COST, cost)
+    # Same range compression as the auction: BIG_COST sentinels clipped to
+    # just above the finite maximum — keeps float arithmetic on the dual
+    # updates well-conditioned; uniform high padding columns still absorb
+    # exactly one leftover query each.
+    finite = cost < BIG_COST * 0.5
+    lo = jnp.min(jnp.where(finite, cost, jnp.inf))
+    hi = jnp.max(jnp.where(finite, cost, -jnp.inf))
+    no_finite = ~jnp.isfinite(lo)
+    lo = jnp.where(no_finite, 0.0, lo)
+    hi = jnp.where(no_finite, 1.0, jnp.maximum(hi, lo + 1e-12))
+    gap = (hi - lo) * 1e-3 + 1e-6
+    c = jnp.clip(cost, lo, hi + gap).T  # (T, Q) person-major
+    inf = jnp.float32(jnp.inf)
+
+    def person_step(i, state):
+        v, owner, match = state
+        dist = c[i] - v  # (Q,) shortest known path cost to each object
+        pred = jnp.full((q,), i, jnp.int32)  # person preceding object j
+        scanned = jnp.zeros((q,), bool)
+
+        def dj_cond(s):
+            return ~s[5]
+
+        def dj_body(s):
+            dist, pred, scanned, _, _, _ = s
+            dmask = jnp.where(scanned, inf, dist)
+            j = jnp.argmin(dmask).astype(jnp.int32)
+            dj = dmask[j]
+            free = owner[j] < 0  # reached an unassigned object: path found
+            i0 = jnp.maximum(owner[j], 0)
+            # Relax via j's owner: u[i0] = c[i0, j] - v[j] (tight pair).
+            nd = dj + (c[i0] - v) - (c[i0, j] - v[j])
+            scanned2 = scanned.at[j].set(True)
+            better = (nd < dist) & ~scanned2
+            dist = jnp.where(free, dist, jnp.where(better, nd, dist))
+            pred = jnp.where(free, pred, jnp.where(better, i0, pred))
+            scanned = jnp.where(free, scanned, scanned2)
+            return dist, pred, scanned, j, dj, free
+
+        dist, pred, scanned, j0, delta, _ = jax.lax.while_loop(
+            dj_cond, dj_body,
+            (dist, pred, scanned, jnp.int32(0), jnp.float32(0.0),
+             jnp.asarray(False)),
+        )
+        # Dual update on the scanned set keeps reduced costs nonnegative
+        # for the next Dijkstra (scipy's rectangular LSA does the same).
+        v = jnp.where(scanned, v + (dist - delta), v)
+
+        def aug_cond(s):
+            return ~s[3]
+
+        def aug_body(s):
+            j, owner, match, _ = s
+            i0 = pred[j]
+            j_next = match[i0]
+            owner = owner.at[j].set(i0)
+            match = match.at[i0].set(j)
+            return j_next, owner, match, i0 == i
+
+        _, owner, match, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (j0, owner, match, jnp.asarray(False))
+        )
+        return v, owner, match
+
+    v0 = jnp.zeros((q,), jnp.float32)
+    owner0 = jnp.full((q,), -1, jnp.int32)
+    match0 = jnp.full((t,), -1, jnp.int32)
+    _, _, match = jax.lax.fori_loop(0, t, person_step, (v0, owner0, match0))
+    return jnp.maximum(match, 0)
+
+
+def jv_match(cost: jax.Array) -> jax.Array:
+    """(B, Q, T) cost -> (B, T): device-side exact JV/shortest-path LSA."""
+    return jax.vmap(_jv_single)(jax.lax.stop_gradient(cost))
 
 
 def batched_hungarian(costs, impl: str | None = None):
@@ -246,11 +361,12 @@ _MATCHER_IMPL = os.environ.get("IUVL_MATCHER_IMPL", "auto")
 
 
 def set_matcher_impl(impl: str) -> None:
-    """'host' | 'auction' | 'auto' (auto = auction on TPU, host elsewhere).
-    Threaded from cfg MATCHER_IMPL by the trainer; module-level because the
-    matcher is called from loss closures, not from model config."""
+    """'host' | 'auction' | 'jv' | 'auto' (auto = jv on TPU, host
+    elsewhere). Threaded from cfg MATCHER_IMPL by the trainer;
+    module-level because the matcher is called from loss closures, not
+    from model config."""
     global _MATCHER_IMPL
-    if impl not in ("host", "auction", "auto"):
+    if impl not in ("host", "auction", "jv", "auto"):
         raise ValueError(f"unknown matcher impl {impl!r}")
     _MATCHER_IMPL = impl
 
@@ -259,7 +375,9 @@ def hungarian_match(cost: jax.Array, impl: str | None = None) -> jax.Array:
     """(B, Q, T) cost -> (B, T) assigned query per target."""
     impl = impl or _MATCHER_IMPL
     if impl == "auto":
-        impl = "auction" if jax.default_backend() == "tpu" else "host"
+        impl = "jv" if jax.default_backend() == "tpu" else "host"
+    if impl == "jv":
+        return jv_match(cost)
     if impl == "auction":
         return auction_match(cost)
     b, _, t = cost.shape

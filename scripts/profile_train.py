@@ -43,7 +43,7 @@ def main():
     n_classes = 133
     match_points = 12544
 
-    set_matcher_impl("auction")
+    set_matcher_impl("auto")  # auto = jv on TPU
     cfg = SysLearnerConfig(
         sam_size="base", img_size=1024, dtype="bfloat16", attn_impl="auto",
         msdeform_impl="auto", remat=remat,

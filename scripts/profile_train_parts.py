@@ -47,7 +47,7 @@ def main():
     match_points = 12544
     copts = {"xla_tpu_scoped_vmem_limit_kib": 24576}
 
-    set_matcher_impl("auction")
+    set_matcher_impl("auto")  # auto = jv on TPU
     cfg = SysLearnerConfig(
         sam_size="base", img_size=1024, dtype="bfloat16", attn_impl="auto",
         msdeform_impl="auto", remat=True,
