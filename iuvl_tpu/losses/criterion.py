@@ -22,7 +22,13 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from ..ops.point_sample import point_sample, uncertain_point_coords
+from ..ops.point_sample import (
+    WideTable,
+    build_wide_table,
+    point_sample,
+    point_sample_from_table,
+    uncertain_point_coords,
+)
 from .matcher import batched_hungarian, compute_match_cost, hungarian_match
 
 
@@ -47,6 +53,14 @@ class CriterionConfig:
     box_weight: float = 5.0  # reference BOX_WEIGHT
     giou_weight: float = 2.0  # reference GIOU_WEIGHT
     top_mask_layers: int = 10
+    # gt sampling: share ONE materialized wide table across decoder layers
+    # (bf16 storage is exact for binary gt). Measured NEGATIVE in-context
+    # (scripts/ab_gt_table.py, v5e: losses phase 218.0 ms table vs 173.4 ms
+    # rebuild) despite winning isolated 6.1 vs 13.4 ms/layer
+    # (scripts/bench_gt_sample.py) — XLA already CSEs the unmaterialized
+    # shifted-stack across the 10 layers and the barrier breaks that.
+    # Kept selectable; None (default) = per-layer rebuild in f32.
+    gt_table_dtype: str | None = None
 
 
 class SegCriterion:
@@ -70,8 +84,14 @@ class SegCriterion:
         w = jnp.where(tc == no_object, c.eos_coef, 1.0)
         return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
 
-    def loss_masks(self, rng, pred_masks, targets: SegTargets, assigned, num_masks):
-        """Reference criterion.py:337-393."""
+    def loss_masks(self, rng, pred_masks, targets: SegTargets, assigned, num_masks,
+                   tgt_table: WideTable | None = None):
+        """Reference criterion.py:337-393.
+
+        ``tgt_table``: prebuilt gt :class:`WideTable` shared across decoder
+        layers (the gt masks are constant per step; resampling them from a
+        shared bf16 table costs ~6 ms/layer vs ~13 ms rebuilt at 1024² —
+        bit-exact for binary gt, see point_sample.build_wide_table)."""
         c = self.cfg
         b, q, h, w = pred_masks.shape
         t = targets.labels.shape[1]
@@ -79,16 +99,23 @@ class SegCriterion:
             pred_masks, assigned[:, :, None, None], axis=1
         )  # (B, T, H, W)
         src_flat = src.reshape(b * t, h, w).astype(jnp.float32)
-        tgt_flat = targets.masks.reshape(b * t, *targets.masks.shape[2:]).astype(
-            jnp.float32
-        )
 
         coords = uncertain_point_coords(
             rng, jax.lax.stop_gradient(src_flat), c.num_points,
             c.oversample_ratio, c.importance_sample_ratio,
         )
         point_logits = point_sample(src_flat, coords)  # (B*T, P)
-        point_labels = point_sample(tgt_flat, jax.lax.stop_gradient(coords))
+        if tgt_table is not None:
+            point_labels = point_sample_from_table(
+                tgt_table, jax.lax.stop_gradient(coords)
+            )
+        else:
+            tgt_flat = targets.masks.reshape(
+                b * t, *targets.masks.shape[2:]
+            ).astype(jnp.float32)
+            point_labels = point_sample(
+                tgt_flat, jax.lax.stop_gradient(coords)
+            )
 
         valid = targets.valid.reshape(b * t).astype(jnp.float32)
         bce = (
@@ -179,13 +206,19 @@ class SegCriterion:
         c = self.cfg
         num_masks = jnp.maximum(targets.valid.sum().astype(jnp.float32), 1.0)
         losses: dict[str, jax.Array] = {}
+        b, t = targets.masks.shape[:2]
+        tgt_table = build_wide_table(
+            targets.masks.reshape(b * t, *targets.masks.shape[2:]),
+            store_dtype=jnp.dtype(c.gt_table_dtype),
+        ) if kept and c.gt_table_dtype is not None else None
         for (layer_id, layer_out, r_pts, n_layers), assigned in zip(
             kept, assignments
         ):
             suffix = "_0" if layer_id == n_layers - 1 else f"_{layer_id + 1}"
             ce = self.loss_labels(layer_out["pred_logits"], targets, assigned)
             bce, dice = self.loss_masks(
-                r_pts, layer_out["pred_masks"], targets, assigned, num_masks
+                r_pts, layer_out["pred_masks"], targets, assigned, num_masks,
+                tgt_table=tgt_table,
             )
             losses[f"loss_mask_ce{suffix}"] = c.class_weight * ce
             losses[f"loss_mask_bce{suffix}"] = c.mask_weight * bce

@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.point_sample import (
+    WideTable,
     point_sample,
+    point_sample_from_table,
     point_sample_shared,
     uncertain_point_coords,
 )
@@ -92,6 +94,7 @@ def grounding_losses(
     logit_scale: jax.Array,
     cfg: GroundingConfig = GroundingConfig(),
     assigned: jax.Array | None = None,  # (B, G) from an external batched solve
+    tgt_table: WideTable | None = None,  # shared prebuilt gt table (per step)
 ) -> dict[str, jax.Array]:
     b, q = pred_gmasks.shape[:2]
     g = targets.masks.shape[1]
@@ -114,15 +117,22 @@ def grounding_losses(
     # ---- point-sampled BCE + dice on matched masks ---- #
     src = jnp.take_along_axis(pred_gmasks, assigned[:, :, None, None], axis=1)
     src_flat = src.reshape(b * g, *src.shape[2:]).astype(jnp.float32)
-    tgt_flat = targets.masks.reshape(b * g, *targets.masks.shape[2:]).astype(
-        jnp.float32
-    )
     pcoords = uncertain_point_coords(
         r_loss, jax.lax.stop_gradient(src_flat), cfg.num_points,
         cfg.oversample_ratio, cfg.importance_sample_ratio,
     )
     pl_ = point_sample(src_flat, pcoords)
-    tl = point_sample(tgt_flat, jax.lax.stop_gradient(pcoords))
+    # tgt_table (prebuilt shared WideTable) measured NEGATIVE in the
+    # composed criterion (scripts/ab_gt_table.py) — XLA's cross-layer CSE
+    # of the unmaterialized form wins; kept selectable for parity with
+    # CriterionConfig.gt_table_dtype.
+    if tgt_table is not None:
+        tl = point_sample_from_table(tgt_table, jax.lax.stop_gradient(pcoords))
+    else:
+        tgt_flat = targets.masks.reshape(
+            b * g, *targets.masks.shape[2:]
+        ).astype(jnp.float32)
+        tl = point_sample(tgt_flat, jax.lax.stop_gradient(pcoords))
     valid = targets.valid.reshape(b * g).astype(jnp.float32)
     num = jnp.maximum(valid.sum(), 1.0)
     bce = ((jax.nn.softplus(pl_) - pl_ * tl).mean(-1) * valid).sum() / num

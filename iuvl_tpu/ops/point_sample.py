@@ -8,8 +8,91 @@ zero padding). All shapes static — point counts are fixed at trace time.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+
+
+class WideTable(NamedTuple):
+    """Materialized shifted-stack of (N, H, W) maps for repeated sampling.
+
+    ``wide[n, i, k]`` holds the flat map value at index ``i - pad + off_k``
+    for tap offsets ``off = (0, 1, w, w+1)`` — the four bilinear taps of any
+    point live in ONE row, so each sample is one gather row per point.
+
+    Measured results (v5e, 40×1024² binary gt, 12544 pts): ISOLATED a
+    shared bf16 table samples at 6.1 ms/layer vs 13.4 ms/layer rebuilt
+    (scripts/bench_gt_sample.py), but COMPOSED into the criterion's
+    10-layer losses phase the table LOSES (218.0 vs 173.4 ms,
+    scripts/ab_gt_table.py) — XLA already CSEs the unmaterialized
+    shifted-stack across layers and the optimization barrier breaks that.
+    Hence this is opt-in (CriterionConfig.gt_table_dtype, default off);
+    use it only for many samplings of one map OUTSIDE a context XLA can
+    CSE (e.g. separate jit calls against a cached table)."""
+
+    wide: jax.Array  # (n, span, 4)
+    h: int
+    w: int
+
+
+def build_wide_table(masks: jax.Array, store_dtype=None) -> WideTable:
+    """Build the shifted-stack table for (N, H, W) maps.
+
+    ``store_dtype=jnp.bfloat16`` halves the gather bytes and is EXACT for
+    binary {0,1} masks (both values representable); combined with
+    :func:`point_sample_from_table`'s float32 weight math the sampled
+    result is bit-identical to ``point_sample`` on float32 binary masks.
+    An optimization barrier keeps the table materialized — without it XLA
+    fuses the stack back into the gather and issues 4 rows per point."""
+    n, h, w = masks.shape
+    if store_dtype is not None:
+        masks = masks.astype(store_dtype)
+    flat = masks.reshape(n, h * w)
+    pad = w + 1
+    span = h * w + w + 1
+    padded = jnp.pad(flat, ((0, 0), (pad, pad)))
+    wide = jnp.stack(
+        [padded[:, off : off + span] for off in (0, 1, w, w + 1)], axis=-1
+    )
+    return WideTable(jax.lax.optimization_barrier(wide), h, w)
+
+
+def point_sample_from_table(
+    table: WideTable, coords: jax.Array, compute_dtype=jnp.float32
+) -> jax.Array:
+    """Bilinear sample from a prebuilt :class:`WideTable` at (N, P, 2) xy
+    coords in [0, 1]; returns (N, P) in ``compute_dtype``. Gathered taps are
+    upcast BEFORE weighting, so bf16 storage of binary masks loses nothing.
+    Semantics identical to :func:`point_sample` (grid_sample
+    align_corners=False, zero padding)."""
+    h, w = table.h, table.w
+    n, span = table.wide.shape[0], table.wide.shape[1]
+    pad = w + 1
+    x = coords[..., 0] * w - 0.5
+    y = coords[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(compute_dtype)
+    fy = (y - y0).astype(compute_dtype)
+    base = y0.astype(jnp.int32) * w + x0.astype(jnp.int32) + pad
+    base = jnp.clip(base, 0, span - 1)
+    g4 = jnp.take_along_axis(table.wide, base[:, :, None], axis=1).astype(
+        compute_dtype
+    )  # (n, P, 4)
+    out = jnp.zeros(coords.shape[:-1], compute_dtype)
+    one = jnp.ones((), compute_dtype)
+    for k, (dy, dx, wgt) in enumerate((
+        (0, 0, (one - fy) * (one - fx)),
+        (0, 1, (one - fy) * fx),
+        (1, 0, fy * (one - fx)),
+        (1, 1, fy * fx),
+    )):
+        xi = x0 + dx
+        yi = y0 + dy
+        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        out = out + g4[..., k] * (wgt * valid.astype(compute_dtype))
+    return out
 
 
 def point_sample(masks: jax.Array, coords: jax.Array) -> jax.Array:

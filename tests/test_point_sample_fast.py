@@ -6,7 +6,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from iuvl_tpu.ops.point_sample import point_sample, point_sample_shared
+from iuvl_tpu.ops.point_sample import (
+    build_wide_table,
+    point_sample,
+    point_sample_from_table,
+    point_sample_shared,
+)
 
 
 def _naive_point_sample(masks, coords):
@@ -65,6 +70,69 @@ def test_point_sample_shared_matches_per_channel():
             masks[bi], np.broadcast_to(coords[bi][None], (c, p, 2))
         )
         np.testing.assert_allclose(got[bi], want, rtol=0, atol=1e-6)
+
+
+def test_wide_table_bf16_exact_on_binary_masks():
+    # bf16 storage is exact for {0,1} gt; f32 weight math makes the table
+    # path bit-identical to point_sample on float32 binary masks.
+    rs = np.random.RandomState(3)
+    n, h, w, p = 4, 13, 17, 300
+    masks = (rs.rand(n, h, w) > 0.6).astype(np.float32)
+    coords = rs.rand(n, p, 2).astype(np.float32)
+    coords[:, :20] = 0.0
+    coords[:, 20:40] = 1.0
+    table = build_wide_table(jnp.asarray(masks), store_dtype=jnp.bfloat16)
+    got = np.asarray(point_sample_from_table(table, jnp.asarray(coords)))
+    want = np.asarray(point_sample(jnp.asarray(masks), jnp.asarray(coords)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wide_table_f32_matches_naive_general_maps():
+    rs = np.random.RandomState(4)
+    n, h, w, p = 3, 9, 11, 200
+    masks = rs.randn(n, h, w).astype(np.float32)
+    coords = rs.rand(n, p, 2).astype(np.float32)
+    table = build_wide_table(jnp.asarray(masks))
+    got = np.asarray(point_sample_from_table(table, jnp.asarray(coords)))
+    want = _naive_point_sample(masks, coords)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_criterion_gt_table_matches_default_losses():
+    # The opt-in shared-gt-table path (CriterionConfig.gt_table_dtype) must
+    # produce the same losses as the default per-layer rebuild — bit-exact
+    # for binary gt in bf16 storage.
+    from iuvl_tpu.losses.criterion import (
+        CriterionConfig, SegCriterion, SegTargets,
+    )
+
+    rs = np.random.RandomState(5)
+    b, q, t, k, hp, hg = 2, 8, 3, 6, 16, 32
+    targets = SegTargets(
+        labels=jnp.asarray(rs.randint(0, k - 1, (b, t)), jnp.int32),
+        masks=jnp.asarray(rs.rand(b, t, hg, hg) > 0.5, jnp.float32),
+        valid=jnp.asarray(rs.rand(b, t) > 0.3),
+    )
+    outputs = {
+        "pred_logits": jnp.asarray(rs.randn(b, q, k), jnp.float32),
+        "pred_masks": jnp.asarray(rs.randn(b, q, hp, hp), jnp.float32),
+        "pred_boxes": None,
+        "aux_outputs": [],
+    }
+    rng = jax.random.PRNGKey(3)
+    base = SegCriterion(CriterionConfig(num_classes=k - 1, num_points=32))(
+        rng, outputs, targets, match_points=32
+    )
+    for dt in ("float32", "bfloat16"):
+        got = SegCriterion(
+            CriterionConfig(num_classes=k - 1, num_points=32,
+                            gt_table_dtype=dt)
+        )(rng, outputs, targets, match_points=32)
+        assert base.keys() == got.keys()
+        for key in base:
+            np.testing.assert_array_equal(
+                np.asarray(base[key]), np.asarray(got[key]), err_msg=key
+            )
 
 
 def test_point_sample_gradients_flow():
