@@ -211,6 +211,94 @@ def bench_extra():
         "vs_baseline": None,  # no reference number published (BASELINE.md)
     })
 
+    # ---- step1 seg training throughput (B=2/chip as the reference trains,
+    # configs/step1.yaml:114 + run:4-14: 2 img/GPU on 8 GPUs).
+    # No chained-scan differencing here: a train step is ~2 s, so dispatch
+    # RTT is <0.5% noise, and scanning a TrainState carry double-buffers
+    # params + adamw moments — composed with the eval benches' resident
+    # buffers above that OOMed the chip. A donated jitted step instead. ---- #
+    try:
+        import numpy as np
+
+        from iuvl_tpu.losses.criterion import (
+            CriterionConfig, SegCriterion, SegTargets,
+        )
+        from iuvl_tpu.losses.matcher import set_matcher_impl
+        from iuvl_tpu.train.optimizer import build_optimizer
+        from iuvl_tpu.train.train_step import TrainState, split_seg_outputs
+        import optax
+
+        set_matcher_impl("auto")  # jv on TPU
+        bt, t_max, n_cls = 2, 20, 133
+        tcfg = SysLearnerConfig(
+            sam_size="base", img_size=1024, dtype="bfloat16",
+            attn_impl="auto", msdeform_impl="auto", remat=True,
+        )
+        tmodel = SysLearner(cfg=tcfg)
+        ttext0 = jnp.zeros((n_cls + 1, tcfg.syslearner_dim), jnp.float32)
+        tparams = jax.jit(
+            lambda r: tmodel.init(r, images0, ttext0, method=SysLearner.warmup)
+        )(jax.random.PRNGKey(0))
+        criterion = SegCriterion(CriterionConfig(num_classes=n_cls))
+        tx = build_optimizer(tparams, base_lr=1e-4, total_steps=1000)
+        rs = np.random.RandomState(0)
+        timages = jnp.asarray(rs.rand(bt, 1024, 1024, 3) * 255, jnp.float32)
+        ttext = jnp.asarray(rs.randn(n_cls + 1, tcfg.syslearner_dim),
+                            jnp.float32)
+        ttargets = SegTargets(
+            labels=jnp.asarray(rs.randint(0, n_cls, (bt, t_max)), jnp.int32),
+            masks=jnp.asarray(rs.rand(bt, t_max, 1024, 1024) > 0.7,
+                              jnp.float32),
+            valid=jnp.asarray(rs.rand(bt, t_max) > 0.3),
+        )
+
+        def loss_fn(params, images, rng):
+            outputs = tmodel.apply(params, images, ttext,
+                                   method=SysLearner.forward_seg)
+            obj, _ = split_seg_outputs(outputs, tmodel.cfg.num_queries)
+            losses = criterion(rng, obj, ttargets, match_points=12544)
+            return sum(losses.values()), losses
+
+        def one(state, images):
+            rng = jax.random.fold_in(jax.random.PRNGKey(7), state.step)
+            (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, images, rng)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            return TrainState(step=state.step + 1,
+                              params=optax.apply_updates(state.params,
+                                                         updates),
+                              opt_state=opt_state), total
+
+        # Free the eval benches' device buffers before the train compile
+        # (c1/ck close over sam_emb etc. as embedded constants, so the
+        # jitted callables must go too for the buffers to be released).
+        del params, sam_emb, mask_features, multi_scale
+        del run1, runk, enc, c1, ck
+
+        step = jax.jit(
+            one, donate_argnums=(0,),
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": 24576},
+        )
+        state = TrainState.create(tparams, tx)
+        del tparams
+        state, total = step(state, timages)  # compile + warm
+        float(total)
+        per_step = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, total = step(state, timages)
+            float(total)  # host fetch forces completion of the whole step
+            per_step = min(per_step, time.perf_counter() - t0)
+        results.append({
+            "metric": "step1_train_images_per_sec_per_chip",
+            "value": round(bt / per_step, 3),
+            "unit": "img/s",
+            "vs_baseline": None,  # no reference number published (BASELINE.md)
+        })
+    except Exception as e:  # keep the first two extras on any failure
+        print(f"train-throughput extra failed: {e}", file=sys.stderr)
+
     for r in results:
         print(json.dumps(r), file=sys.stderr)
     with open("BENCH_EXTRA.json", "w") as f:
