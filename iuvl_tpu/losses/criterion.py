@@ -91,7 +91,11 @@ class SegCriterion:
         ``tgt_table``: prebuilt gt :class:`WideTable` shared across decoder
         layers (the gt masks are constant per step; resampling them from a
         shared bf16 table costs ~6 ms/layer vs ~13 ms rebuilt at 1024² —
-        bit-exact for binary gt, see point_sample.build_wide_table)."""
+        bit-exact for binary gt, see point_sample.build_wide_table).
+        CAVEAT: that per-layer win measures NET NEGATIVE composed across
+        the 10 layers (XLA already CSEs the unmaterialized shifted stack;
+        the barrier keeping the table resident breaks that) — it stays
+        opt-in, off by default; see CriterionConfig.gt_table_dtype."""
         c = self.cfg
         b, q, h, w = pred_masks.shape
         t = targets.labels.shape[1]

@@ -135,7 +135,7 @@ def _auction_single(cost: jax.Array, quant_bits: int = 16,
 
     # --- integer benefits, BIG_COST columns clipped to max_finite + 1 --- #
     cost = cost.astype(jnp.float32)
-    cost = jnp.where(jnp.isnan(cost), BIG_COST, cost)  # _lsa_host nan_to_num
+    cost = jnp.where(jnp.isfinite(cost), cost, BIG_COST)  # _lsa_host nan_to_num (incl. +/-inf)
     finite = cost < BIG_COST * 0.5
     lo = jnp.min(jnp.where(finite, cost, jnp.inf))
     hi = jnp.max(jnp.where(finite, cost, -jnp.inf))
@@ -250,7 +250,10 @@ def _jv_single(cost: jax.Array) -> jax.Array:
     if t > q:
         raise ValueError(f"jv matcher needs T <= Q, got Q={q} T={t}")
     cost = cost.astype(jnp.float32)
-    cost = jnp.where(jnp.isnan(cost), BIG_COST, cost)
+    # Sanitize non-finite entries (NaN AND +/-inf -- a -inf would make
+    # lo=-inf below, leave itself un-clipped by jnp.clip, and poison the
+    # Dijkstra dual arithmetic; mirrors the host path's nan_to_num).
+    cost = jnp.where(jnp.isfinite(cost), cost, BIG_COST)
     # Same range compression as the auction: BIG_COST sentinels clipped to
     # just above the finite maximum — keeps float arithmetic on the dual
     # updates well-conditioned; uniform high padding columns still absorb
@@ -338,7 +341,8 @@ def batched_hungarian(costs, impl: str | None = None):
     path. T dims are padded to a common width with uniform BIG_COST
     columns, which cannot change the valid sub-assignment (every padded
     column absorbs a leftover query at identical cost regardless of
-    which). All costs must share Q.
+    which). All costs must share Q, and (for the device impls) the padded
+    max(T_i) must still be <= Q — see ``hungarian_match``.
     """
     if len(costs) == 1:
         return [hungarian_match(costs[0], impl=impl)]
@@ -372,7 +376,14 @@ def set_matcher_impl(impl: str) -> None:
 
 
 def hungarian_match(cost: jax.Array, impl: str | None = None) -> jax.Array:
-    """(B, Q, T) cost -> (B, T) assigned query per target."""
+    """(B, Q, T) cost -> (B, T) assigned query per target.
+
+    Contract: the device solvers ('jv', 'auction') require T <= Q (queries
+    at least as numerous as targets — always true for the 100-query
+    decoder matching <=100 gt instances) and raise at trace time
+    otherwise; the 'host' scipy callback handles any rectangle. Callers
+    with a possibly-wide T must pass ``impl='host'`` explicitly.
+    """
     impl = impl or _MATCHER_IMPL
     if impl == "auto":
         impl = "jv" if jax.default_backend() == "tpu" else "host"

@@ -67,7 +67,7 @@ def point_sample_from_table(
     Semantics identical to :func:`point_sample` (grid_sample
     align_corners=False, zero padding)."""
     h, w = table.h, table.w
-    n, span = table.wide.shape[0], table.wide.shape[1]
+    span = table.wide.shape[1]
     pad = w + 1
     x = coords[..., 0] * w - 0.5
     y = coords[..., 1] * h - 0.5

@@ -165,3 +165,20 @@ def test_jv_under_vmap_lanes():
         got = _total_cost(c, out[b])
         want = _oracle_total(c)
         assert got == pytest.approx(want, abs=1e-3)
+
+
+@pytest.mark.parametrize("impl", ["jv", "auction"])
+def test_device_matchers_sanitize_inf(impl):
+    """±inf cost entries must be treated as BIG_COST (like the host path's
+    nan_to_num), not leak into the dual arithmetic as NaN-producing -inf."""
+    rng = np.random.RandomState(3)
+    cost = rng.randn(1, 16, 5).astype(np.float32)
+    cost[0, 0, 0] = -np.inf
+    cost[0, 3, 1] = np.inf
+    cost[0, 5, 2] = np.nan
+    assign = np.asarray(hungarian_match(jnp.asarray(cost), impl=impl))[0]
+    ref = np.nan_to_num(cost[0], nan=BIG_COST, posinf=BIG_COST,
+                        neginf=BIG_COST)
+    assert len(set(assign.tolist())) == 5  # injective, no garbage
+    got = _total_cost(ref, assign)
+    assert abs(got - _oracle_total(ref)) < 1e-3 * max(1.0, abs(got))
