@@ -53,6 +53,8 @@ class SysLearnerConfig:
     nheads: int = 8
     dim_feedforward: int = 2048
     llm_dim: int = 0  # 0 disables the LLM projector; 4096 for Vicuna-7B
+    retrieval_ensemble: bool = False  # backbone ITC branch (reference
+    # xdecoder_model.py:111-115 retrieval_emsemble + backbone_proj)
     dtype: str = "float32"
     attn_impl: str = "xla"  # SAM windowed attention implementation
     remat: bool = False
@@ -144,6 +146,16 @@ class SysLearner(nn.Module):
         if c.llm_dim:
             # Reference xdecoder_model.py:84: img_to_lang Linear 512 -> 4096.
             self.img_to_lang = nn.Dense(c.llm_dim, dtype=dtype, name="img_to_lang")
+        if c.retrieval_ensemble:
+            # Reference xdecoder_model.py:113-115: backbone_proj (768 x
+            # dim_proj, trunc-normal 0.02, no bias) projects the avg-pooled
+            # res5 feature into the retrieval space for the backbone ITC
+            # branch; Dense infers the input width from our res5 channels.
+            self.backbone_proj = nn.Dense(
+                c.syslearner_dim, use_bias=False, dtype=dtype,
+                kernel_init=nn.initializers.truncated_normal(0.02),
+                name="backbone_proj",
+            )
 
     # ------------------------------------------------------------------ #
     # Preprocessing / backbone
@@ -222,8 +234,14 @@ class SysLearner(nn.Module):
         token_emb, class_emb = self.lang_encoder.forward_language_token(
             caption_ids, caption_mask
         )
-        out = self.forward_vlp(images, token_emb)
+        _, fpn = self.encode_image(images)
+        out = self._head(fpn, None, "vlp", caption_tokens=token_emb,
+                         training=True)
         out["caption_class_emb"] = class_emb  # pooled caption embedding
+        if self.cfg.retrieval_ensemble:
+            # Backbone ITC branch (reference forward_vlp:427-435): res5
+            # avg-pooled over space, projected into the retrieval space.
+            out["backbone_emb"] = self.backbone_retrieval_emb(fpn)
         # Raw token table (V, width): the captioning logits use it directly
         # (reference xdecoder.py:359 — width == dim_proj in shipped configs;
         # when they differ, project the table with lang_proj).
@@ -289,6 +307,26 @@ class SysLearner(nn.Module):
         out = self._head(fpn, None, "seg")
         v = out["pred_captions"][:, -1]
         return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-7)
+
+    def backbone_retrieval_emb(self, fpn: dict) -> jax.Array:
+        """Backbone-side retrieval embedding: res5 spatially avg-pooled,
+        then backbone_proj (reference forward_vlp:427-432's
+        adaptive_avg_pool1d + @ backbone_proj)."""
+        v = fpn["res5"].mean(axis=(1, 2))  # (B, C) — NHWC pool over space
+        v = self.backbone_proj(v.astype(jnp.float32))
+        return v.astype(jnp.float32)
+
+    def evaluate_retrieval_ensemble(self, images: jax.Array):
+        """Both retrieval embeddings in one backbone pass: (decoder class
+        query, backbone-projected res5). The evaluator averages their
+        similarity matrices 0.5/0.5 (retrieval_evaluation.py:162-166)."""
+        _, fpn = self.encode_image(images)
+        out = self._head(fpn, None, "seg")
+        v = out["pred_captions"][:, -1]
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-7)
+        v2 = self.backbone_retrieval_emb(fpn)
+        v2 = v2 / (jnp.linalg.norm(v2, axis=-1, keepdims=True) + 1e-7)
+        return v, v2
 
     def evaluate_captioning(
         self, images: jax.Array, steps: int = 50, sot_id: int = 49406
@@ -479,4 +517,6 @@ class SysLearner(nn.Module):
             llm_out = self.project_image_features(
                 jnp.zeros((b, c.num_queries - 1, c.syslearner_dim))
             )
+        if c.retrieval_ensemble:
+            vlp = (vlp, self.backbone_retrieval_emb(fpn))
         return out, vlp, dec, text, llm_out

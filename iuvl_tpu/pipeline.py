@@ -99,6 +99,7 @@ class XDecoderPipeline:
             pixel_decoder=c.get("PIXEL_DECODER", "msdeform"),
             detection=bool(c.get("DETECTION", False)),
             llm_dim=(c.get("LLM_DIM", 4096) if c.get("Load_LLM") else 0),
+            retrieval_ensemble=bool(c.get("RETRIEVAL_ENSEMBLE", False)),
         )
 
     def initialize_model(self, rng=None):
@@ -463,10 +464,13 @@ class XDecoderPipeline:
         from .evaluation import RetrievalEvaluator
 
         ds = build_dataset(name, self.cfg.get(name.upper(), {}), "val")
-        evaluator = RetrievalEvaluator(ks=(1, 5))
+        ensemble = self.model.cfg.retrieval_ensemble
+        evaluator = RetrievalEvaluator(ks=(1, 5), ensemble=ensemble)
         img_fn = jax.jit(
             lambda p, img: self.model.apply(
-                p, img, method=SysLearner.evaluate_retrieval
+                p, img,
+                method=(SysLearner.evaluate_retrieval_ensemble if ensemble
+                        else SysLearner.evaluate_retrieval),
             )
         )
         txt_fn = jax.jit(
@@ -477,7 +481,12 @@ class XDecoderPipeline:
         n = len(ds) if max_batches is None else min(len(ds), max_batches)
         for i in range(n):
             item = ds[i]
-            v = np.asarray(img_fn(params, jnp.asarray(item["image"])[None]))[0]
+            out = img_fn(params, jnp.asarray(item["image"])[None])
+            v2 = None
+            if ensemble:
+                v, v2 = np.asarray(out[0])[0], np.asarray(out[1])[0]
+            else:
+                v = np.asarray(out)[0]
             t = np.asarray(
                 txt_fn(
                     params,
@@ -485,7 +494,7 @@ class XDecoderPipeline:
                     jnp.asarray(item["caption_mask"])[None],
                 )
             )
-            evaluator.process(v, i, t, [i])
+            evaluator.process(v, i, t, [i], image_emb2=v2)
         return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}
 
     def _evaluate_classification(self, params, name, max_batches=None):

@@ -80,9 +80,11 @@ def make_joint_train_step(
     match_points: int = 12544,
     captioning_weight: float = 2.0,
     retrieval_weight: float = 2.0,
+    backbone_weight: float = 8.0,  # reference step1.yaml BACKBONER_WEIGHT
     spatial_weight: float = 5.0,  # reference mask bce/dice weight class
     language_loss_layers: int = 10,
     donate: bool = True,
+    loss_only: bool = False,
 ) -> Callable:
     """Joint seg + vlp step (reference JointLoader batches, forward routing
     xdecoder_model.py:281-303). Signature:
@@ -278,6 +280,16 @@ def make_joint_train_step(
                 out["pred_captions"][:, -1], out["caption_class_emb"],
                 out["logit_scale"],
             )
+            if "backbone_emb" in out:
+                # Backbone ITC branch of the retrieval ensemble (reference
+                # forward_vlp:427-435 loss_retrieval_backbone_0, weight
+                # BACKBONER_WEIGHT=8.0 in step1.yaml:173).
+                losses["loss_retrieval_backbone_0"] = (
+                    backbone_weight * retrieval_loss(
+                        out["backbone_emb"], out["caption_class_emb"],
+                        out["logit_scale"],
+                    )
+                )
         total = sum(losses.values())
         return total, losses
 
@@ -296,6 +308,18 @@ def make_joint_train_step(
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
             {"loss_total": total, **losses},
         )
+
+    if loss_only:
+        # Forward-only metrics on raw params (no grad, no optimizer) — a
+        # much cheaper compile used for matcher-implementation parity
+        # checks (host scipy vs device JV must yield identical losses).
+        def eval_losses(params, seg_images, text_embeddings, targets,
+                        vlp_batch, seg_extras, rng):
+            total, losses = loss_fn(params, seg_images, text_embeddings,
+                                    targets, vlp_batch, seg_extras, rng)
+            return {"loss_total": total, **losses}
+
+        return jax.jit(eval_losses)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else (),
                    compiler_options=train_compiler_options())

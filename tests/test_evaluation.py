@@ -214,3 +214,87 @@ def test_cider_clips_repeated_ngrams():
     rep = ev_rep.evaluate()["CIDEr"]
     ok = ev_ok.evaluate()["CIDEr"]
     assert ok > rep  # repetition must not beat the exact match
+
+
+def test_instance_ap_area_range_buckets():
+    """COCOeval area-range semantics: gt outside a bucket is ignored there,
+    so a perfect small-object detection scores APs=100 / APm=NaN-excluded,
+    and vice versa. Hand-computed per pycocotools cocoeval.py."""
+    from iuvl_tpu.evaluation.instance import InstanceAPEvaluator
+
+    ev = InstanceAPEvaluator(num_classes=1)
+    small = np.zeros((64, 64), bool)
+    small[:10, :10] = True  # area 100 < 32^2 -> small
+    large = np.zeros((128, 128), bool)
+    large[:100, :100] = True  # area 10000 in (96^2=9216, inf) -> large
+    ev.process(small[None], [0.9], [0], small[None], [0])
+    ev.process(large[None], [0.8], [0], large[None], [0])
+    res = ev.evaluate()
+    assert res["AP"] == 100.0
+    assert res["APs"] == 100.0
+    assert res["APl"] == 100.0
+    assert res["APm"] == -1.0  # no medium gt anywhere -> uncomputable
+
+
+def test_instance_ap_unmatched_det_outside_range_ignored():
+    """An unmatched detection whose area is outside the bucket must not
+    count as a false positive in that bucket (cocoeval dtIg)."""
+    from iuvl_tpu.evaluation.instance import InstanceAPEvaluator
+
+    ev = InstanceAPEvaluator(num_classes=1)
+    small_gt = np.zeros((64, 64), bool)
+    small_gt[:10, :10] = True
+    small_hit = small_gt.copy()
+    large_fp = np.zeros((64, 64), bool)
+    large_fp[:62, :62] = True  # area 3844 (medium) — unmatched FP
+    ev.process(
+        np.stack([small_hit, large_fp]), [0.9, 0.95], [0, 0],
+        small_gt[None], [0],
+    )
+    res = ev.evaluate()
+    # 'small' bucket: the medium FP is ignored, the hit is perfect.
+    assert res["APs"] == 100.0
+    # 'all' bucket: the higher-scored FP halves precision at recall 1.
+    # envelope: prec at recall>=... = 0.5 then 1*? cumulative: dets sorted
+    # by score: [FP(0.95), TP(0.9)] -> tp=[0,1], fp=[1,1];
+    # recall=[0,1], prec=[0,0.5] -> AP = 0.5
+    assert abs(res["AP"] - 50.0) < 1e-6
+
+
+def test_instance_ap_max_dets_cap():
+    """Only the top-100 detections per image/class enter matching: a true
+    positive ranked 101st by score must not be counted."""
+    from iuvl_tpu.evaluation.instance import InstanceAPEvaluator
+
+    ev = InstanceAPEvaluator(num_classes=1, max_dets=2)
+    gt = np.zeros((8, 8), bool)
+    gt[:4] = True
+    junk1 = np.zeros((8, 8), bool)
+    junk1[7, 7] = True
+    junk2 = np.zeros((8, 8), bool)
+    junk2[7, 6] = True
+    # the true positive has the LOWEST score and maxDets=2 cuts it
+    ev.process(np.stack([junk1, junk2, gt]), [0.9, 0.8, 0.7], [0, 0, 0],
+               gt[None], [0])
+    res = ev.evaluate()
+    assert res["AP"] == 0.0
+
+
+def test_instance_ap_matched_to_ignored_gt_is_ignored():
+    """A det matching an out-of-range gt is ignored, not a false positive
+    (cocoeval: gtIg propagates through the match)."""
+    from iuvl_tpu.evaluation.instance import InstanceAPEvaluator
+
+    ev = InstanceAPEvaluator(num_classes=1)
+    med_gt = np.zeros((64, 64), bool)
+    med_gt[:40, :40] = True  # area 1600 -> medium
+    small_gt = np.zeros((64, 64), bool)
+    small_gt[50:60, 50:60] = True  # area 100 -> small
+    ev.process(np.stack([med_gt, small_gt]), [0.9, 0.8], [0, 0],
+               np.stack([med_gt, small_gt]), [0, 0])
+    res = ev.evaluate()
+    # small bucket: medium det matches the (ignored-there) medium gt ->
+    # ignored; small det is a TP for the only counted gt.
+    assert res["APs"] == 100.0
+    assert res["APm"] == 100.0
+    assert res["AP"] == 100.0
