@@ -277,3 +277,58 @@ def test_coco_rle_string_roundtrip():
         assert dec == rle
         np.testing.assert_array_equal(rle_to_mask(dec), mask)
         assert area_from_rle(rle) == int(mask.sum())
+
+
+def test_visualizer_labeled_instances_and_text():
+    from iuvl_tpu.utils.visualizer import (
+        class_color, create_text_labels, draw_instances, draw_panoptic,
+        draw_sem_seg, draw_text,
+    )
+
+    img = np.full((64, 64, 3), 120, np.uint8)
+    m1 = np.zeros((64, 64), bool); m1[8:28, 8:28] = True
+    m2 = np.zeros((64, 64), bool); m2[36:60, 30:60] = True
+
+    # deterministic per-class colors
+    assert class_color(3) == class_color(3)
+    assert class_color(3) != class_color(4)
+
+    assert create_text_labels([0, 1], [0.97, 0.5], ["cat", "dog"]) == [
+        "cat 97%", "dog 50%"]
+    assert create_text_labels(None, [0.25]) == ["25%"]
+
+    out = draw_instances(img, np.stack([m1, m2]), labels=[0, 1],
+                         scores=[0.9, 0.8], class_names=["cat", "dog"])
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert (out != img).any()
+    # text halo writes near-black pixels around each mask's median
+    cy, cx = 18, 18
+    patch = out[cy - 6:cy + 6, cx - 6:cx + 6]
+    assert (patch.min(axis=-1) < 40).any(), "label text not rendered"
+
+    # panoptic with labels + scores
+    seg = np.zeros((64, 64), np.int32)
+    seg[m1] = 1; seg[m2] = 2
+    info = [
+        {"id": 1, "category_id": 0, "isthing": True, "score": 0.9},
+        {"id": 2, "category_id": 1, "isthing": False},
+    ]
+    pan = draw_panoptic(img, seg, info, class_names=["cat", "sky"])
+    assert pan.shape == img.shape
+    assert (pan[m1] != img[m1]).any() and (pan[m2] != img[m2]).any()
+
+    sem = draw_sem_seg(img, seg, num_classes=3, show_text=True,
+                       class_names=["bg", "cat", "sky"])
+    assert sem.shape == img.shape
+
+    t = draw_text(img, "hello", (32, 32))
+    assert (t != img).any()
+
+
+def test_visualizer_labeled_boxes():
+    from iuvl_tpu.utils.visualizer import draw_boxes
+
+    img = np.full((64, 64, 3), 200, np.uint8)
+    out = draw_boxes(img, np.asarray([[10, 10, 40, 40]]), labels=[1],
+                     scores=[0.75], class_names=["a", "bus"])
+    assert (out != img).any()
