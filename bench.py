@@ -299,6 +299,45 @@ def bench_extra():
     except Exception as e:  # keep the first two extras on any failure
         print(f"train-throughput extra failed: {e}", file=sys.stderr)
 
+    # ---- Vicuna-7B-shape LLM serving (VERDICT r2 item 2): decode tokens/s
+    # + prefill latency, bf16 (13.5 GB, fits v5e) and int8 weight-only.
+    # Free the train-bench buffers first — 7B bf16 needs most of HBM. ---- #
+    try:
+        import gc
+        import os as _os
+        import sys as _sys
+
+        # (del on possibly-unbound locals needs the guard; the jitted
+        # `step` pins ttargets/timages as embedded constants, so the
+        # callable itself must go for the buffers to be released.)
+        try:
+            del state, step, one, loss_fn, tx, criterion, timages, ttargets
+        except NameError:
+            pass
+        gc.collect()
+        _sys.path.insert(0, _os.path.join(_os.path.dirname(
+            _os.path.abspath(__file__)), "scripts"))
+        from bench_llm_7b import bench_variant
+
+        for quant, tag in (("none", "bf16"), ("int8", "int8")):
+            r = bench_variant(quant)
+            gc.collect()
+            results.append({
+                "metric": f"llm7b_decode_tokens_per_sec_{tag}",
+                "value": r["decode_tok_s"],
+                "unit": "tok/s",
+                "vs_baseline": None,  # reference serves 8-bit single-GPU,
+                # no published tokens/s (BASELINE.md)
+            })
+            results.append({
+                "metric": f"llm7b_prefill_latency_{tag}",
+                "value": r["prefill_ms"],
+                "unit": "ms",
+                "vs_baseline": None,
+            })
+    except Exception as e:
+        print(f"llm7b extra failed: {e}", file=sys.stderr)
+
     for r in results:
         print(json.dumps(r), file=sys.stderr)
     with open("BENCH_EXTRA.json", "w") as f:

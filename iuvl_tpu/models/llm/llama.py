@@ -41,6 +41,8 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     dtype: str = "bfloat16"
+    param_dtype: str = "float32"  # storage dtype of the weights; serving a
+    # frozen 7B uses "bfloat16" (13.5 GB fits v5e HBM; fp32 would not)
     quant: str = "none"  # "int8" = weight-only per-channel int8 (the
     # reference's bitsandbytes 8-bit load, llm/load_llm.py:29-49): halves
     # the HBM weight footprint/traffic of the frozen 7B at serving time.
@@ -97,7 +99,8 @@ def _dense(cfg: LlamaConfig, features: int, name: str):
     dtype = jnp.dtype(cfg.dtype)
     if cfg.quant == "int8":
         return QuantDense(features=features, dtype=dtype, name=name)
-    return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=dtype,
+                    param_dtype=jnp.dtype(cfg.param_dtype), name=name)
 
 
 class LlamaAttention(nn.Module):
@@ -166,14 +169,16 @@ class LlamaForCausalLM(nn.Module):
     def setup(self):
         c = self.cfg
         self.embed_tokens = self.param(
-            "embed_tokens", nn.initializers.normal(0.02), (c.vocab_size, c.dim)
+            "embed_tokens", nn.initializers.normal(0.02),
+            (c.vocab_size, c.dim), jnp.dtype(c.param_dtype),
         )
         self.blocks = [
             LlamaBlock(cfg=c, name=f"layer{i}") for i in range(c.layers)
         ]
         self.norm = RMSNorm(eps=c.rms_eps, name="final_norm")
         self.lm_head = self.param(
-            "lm_head", nn.initializers.normal(0.02), (c.dim, c.vocab_size)
+            "lm_head", nn.initializers.normal(0.02),
+            (c.dim, c.vocab_size), jnp.dtype(c.param_dtype),
         )
 
     def embed(self, input_ids: jax.Array) -> jax.Array:
@@ -200,7 +205,10 @@ class LlamaForCausalLM(nn.Module):
         for blk in self.blocks:
             x = blk(x, positions, mask)
         x = self.norm(x)
-        return (x.astype(jnp.float32) @ self.lm_head.astype(jnp.float32))
+        # bf16 operands with fp32 MXU accumulation: avoids materializing an
+        # fp32 copy of the 512 MB lm_head on every call.
+        return jnp.dot(x, self.lm_head.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
 
     # ------------------------- decoding ------------------------- #
     def init_cache(self, batch: int) -> list[dict]:
@@ -242,7 +250,8 @@ class LlamaForCausalLM(nn.Module):
             x = blk(x, positions, mask, cache)
             new_caches.append({"k": cache["k"], "v": cache["v"], "offset": 0})
         x = self.norm(x)
-        logits = x[:, -1].astype(jnp.float32) @ self.lm_head.astype(jnp.float32)
+        logits = jnp.dot(x[:, -1], self.lm_head.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
         return logits, new_caches
 
     def decode_step(
@@ -266,7 +275,8 @@ class LlamaForCausalLM(nn.Module):
             x = blk(x, positions, mask, cache)
             new_caches.append({"k": cache["k"], "v": cache["v"], "offset": offset})
         x = self.norm(x)
-        logits = x[:, 0].astype(jnp.float32) @ self.lm_head.astype(jnp.float32)
+        logits = jnp.dot(x[:, 0], self.lm_head.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
         return logits, new_caches
 
 
