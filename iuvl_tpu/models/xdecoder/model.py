@@ -362,6 +362,44 @@ class SysLearner(nn.Module):
         )
         return ids
 
+    def evaluate_captioning_cached(
+        self, images: jax.Array, steps: int = 50, sot_id: int = 49406
+    ) -> jax.Array:
+        """KV-cached captioning decode — same token ids as
+        :meth:`evaluate_captioning`, one caption ROW per step instead of
+        re-running the 9-layer decoder over [queries; 77 slots]
+        (the reference's worst hot loop, interface/xdecoder.py:331-426).
+        The query block runs once (captioning_prefill); each step pushes a
+        single caption token against frozen query K/V + the growing caption
+        K/V. The CLIP text tower still re-runs per step (causal, so
+        position ``t`` is stable once emitted) — it is the residual cost.
+        """
+        _, fpn = self.encode_image(images)
+        mask_features, multi_scale = self.pixel_decoder(fpn)
+        b = images.shape[0]
+        ids0 = jnp.full((b, self.cfg.contxt_len), sot_id, jnp.int32)
+        table = self.lang_encoder.lang_encoder.token_table()  # (V, width)
+        prefill = self.predictor.captioning_prefill(multi_scale, mask_features)
+        caches0 = self.predictor.init_caption_cache(b)
+
+        def step_fn(carry, cap_idx):
+            ids, caches = carry
+            tok_emb, _ = self.lang_encoder.forward_language_token(ids)
+            e_t = jax.lax.dynamic_slice_in_dim(tok_emb, cap_idx, 1, axis=1)
+            row, caches = self.predictor.caption_decode_step(
+                prefill, caches, e_t, cap_idx
+            )
+            logits = row.astype(jnp.float32) @ table.T.astype(jnp.float32)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            ids = jax.lax.dynamic_update_slice(ids, nxt[:, None], (0, cap_idx + 1))
+            return (ids, caches), None
+
+        (ids, _), _ = jax.lax.scan(
+            step_fn, (ids0, caches0),
+            jnp.arange(min(steps, self.cfg.contxt_len - 1)),
+        )
+        return ids
+
     # ------------------------------------------------------------------ #
     # Interactive path (one encode, many decodes)
     # ------------------------------------------------------------------ #

@@ -52,53 +52,84 @@ def build_base_self_mask(num_queries: int, contxt_len: int) -> np.ndarray:
 
 class MHA(nn.Module):
     """Multi-head attention with additive bias mask; packed qkv when q is k.
-    Matches torch MultiheadAttention math (modeling/modules/attention.py)."""
+    Matches torch MultiheadAttention math (modeling/modules/attention.py).
+
+    setup-style so the captioning KV-cache path can call ``project_kv`` /
+    ``attend`` separately (param paths are unchanged: q_proj/k_proj/v_proj/
+    out_proj)."""
 
     d_model: int
     nhead: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, q, k, v, bias: Optional[jax.Array] = None):
+    def setup(self):
+        c = self.d_model
+        self.q_proj = nn.Dense(c, dtype=self.dtype)
+        self.k_proj = nn.Dense(c, dtype=self.dtype)
+        self.v_proj = nn.Dense(c, dtype=self.dtype)
+        self.out_proj = nn.Dense(c, dtype=self.dtype)
+
+    def project_kv(self, k, v):
+        """Projected keys/values (B, N, C) — cacheable across decode steps."""
+        return self.k_proj(k), self.v_proj(v)
+
+    def attend(self, q, kp, vp, bias: Optional[jax.Array] = None):
+        """Attention over ALREADY-projected keys/values."""
         b, nq, c = q.shape
         head_dim = c // self.nhead
-        qp = nn.Dense(c, dtype=self.dtype, name="q_proj")(q)
-        kp = nn.Dense(c, dtype=self.dtype, name="k_proj")(k)
-        vp = nn.Dense(c, dtype=self.dtype, name="v_proj")(v)
+        qp = self.q_proj(q)
 
         def split(t):
             return t.reshape(b, t.shape[1], self.nhead, head_dim).transpose(0, 2, 1, 3)
 
-        qp, kp, vp = split(qp), split(kp), split(vp)
+        qs, ks, vs = split(qp), split(kp), split(vp)
         attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", qp, kp, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", qs, ks, preferred_element_type=jnp.float32
         ) / (head_dim ** 0.5)
         if bias is not None:
             attn = attn + bias
-        attn = jax.nn.softmax(attn, axis=-1).astype(vp.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp)
+        attn = jax.nn.softmax(attn, axis=-1).astype(vs.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vs)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, c)
-        return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+        return self.out_proj(out)
+
+    def __call__(self, q, k, v, bias: Optional[jax.Array] = None):
+        kp, vp = self.project_kv(k, v)
+        return self.attend(q, kp, vp, bias)
 
 
 class DecoderLayer(nn.Module):
     """One round: masked cross-attn -> (optional grounding append) ->
-    self-attn -> FFN. Post-norm (PRE_NORM False in shipped configs)."""
+    self-attn -> FFN. Post-norm (PRE_NORM False in shipped configs).
+
+    setup-style (identical param paths) so the captioning decode can run a
+    single caption row against cached query-block K/V (``caption_step``)."""
 
     d_model: int
     nhead: int
     dim_feedforward: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.cross_attn = MHA(self.d_model, self.nhead, dtype=self.dtype)
+        self.self_attn = MHA(self.d_model, self.nhead, dtype=self.dtype)
+        self.cross_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        self.self_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        self.ffn_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        self.ffn_lin1 = nn.Dense(self.dim_feedforward, dtype=self.dtype)
+        self.ffn_lin2 = nn.Dense(self.d_model, dtype=self.dtype)
+
+    def _ffn(self, tgt):
+        y = self.ffn_lin2(nn.relu(self.ffn_lin1(tgt)))
+        return self.ffn_norm(tgt + y)
+
     def __call__(self, tgt, memory, query_pos, mem_pos, cross_bias, self_bias,
                  grounding: Optional[jax.Array] = None,
-                 grounding_pos: Optional[jax.Array] = None):
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
-        y = MHA(self.d_model, self.nhead, dtype=self.dtype, name="cross_attn")(
-            tgt + query_pos, memory + mem_pos, memory, cross_bias
-        )
-        tgt = ln("cross_norm")(tgt + y)
+                 grounding_pos: Optional[jax.Array] = None,
+                 collect_kv: bool = False):
+        y = self.cross_attn(tgt + query_pos, memory + mem_pos, memory,
+                            cross_bias)
+        tgt = self.cross_norm(tgt + y)
 
         n_ground = 0
         if grounding is not None:
@@ -107,19 +138,48 @@ class DecoderLayer(nn.Module):
             query_pos = jnp.concatenate([query_pos, grounding_pos], axis=1)
 
         q = tgt + query_pos
-        y = MHA(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")(
-            q, q, tgt, self_bias
-        )
-        tgt = ln("self_norm")(tgt + y)
-
-        y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="ffn_lin1")(tgt)
-        y = nn.relu(y)
-        y = nn.Dense(self.d_model, dtype=self.dtype, name="ffn_lin2")(y)
-        tgt = ln("ffn_norm")(tgt + y)
+        kp, vp = self.self_attn.project_kv(q, tgt)
+        y = self.self_attn.attend(q, kp, vp, self_bias)
+        tgt = self.self_norm(tgt + y)
+        tgt = self._ffn(tgt)
 
         if n_ground:
             return tgt[:, :-n_ground], tgt[:, -n_ground:]
+        if collect_kv:
+            # Projected self-attn K/V of these rows — the caption decode
+            # attends to them as a frozen prefix (they never read captions).
+            return tgt, (kp, vp)
         return tgt, None
+
+    def caption_step(self, e, e_pos, memory, mem_pos, q_k, q_v,
+                     cap_k, cap_v, step_idx):
+        """One caption row through this layer with cached K/V.
+
+        e (B, 1, C) caption-token activation; e_pos its positional stream;
+        q_k/q_v (B, nq, C) frozen query-block self-attn K/V; cap_k/cap_v
+        (B, L, C) the growing caption K/V (entries > step_idx are masked).
+        The caption row's cross-attention bias is zero (reference
+        xdecoder.py:266-269: appended rows are unmasked). Returns
+        (e_out, cap_k, cap_v)."""
+        y = self.cross_attn(e + e_pos, memory + mem_pos, memory, None)
+        e = self.cross_norm(e + y)
+
+        q_row = e + e_pos
+        nk, nv = self.self_attn.project_kv(q_row, e)
+        cap_k = jax.lax.dynamic_update_slice(cap_k, nk, (0, step_idx, 0))
+        cap_v = jax.lax.dynamic_update_slice(cap_v, nv, (0, step_idx, 0))
+        keys = jnp.concatenate([q_k, cap_k], axis=1)
+        vals = jnp.concatenate([q_v, cap_v], axis=1)
+        # Causal over caption slots: only positions <= step_idx visible.
+        l = cap_k.shape[1]
+        cap_cols = jnp.arange(l) > step_idx
+        bias = jnp.concatenate(
+            [jnp.zeros((q_k.shape[1],), jnp.float32),
+             jnp.where(cap_cols, NEG_INF, 0.0)]
+        )[None, None, None, :]
+        y = self.self_attn.attend(q_row, keys, vals, bias)
+        e = self.self_norm(e + y)
+        return self._ffn(e), cap_k, cap_v
 
 
 class MLP3(nn.Module):
@@ -469,3 +529,82 @@ class UnifiedDecoder(nn.Module):
             # Per-prompt masks from the unified head (rows after [obj; cls]).
             out["pred_interactive_masks"] = predictions[-1]["outputs_mask"][:, nq:]
         return out
+
+    # ------------------------------------------------------------------ #
+    # Cached captioning decode (VERDICT r2 item 4). The reference re-runs
+    # all 9 layers over [queries; 77 caption slots] per emitted token
+    # (interface/xdecoder.py:331-426). Structure makes exact caching
+    # possible: query rows never attend to caption rows (build_base_self_
+    # mask), so their activations — and every cross-attention mask bias —
+    # are DECODE-INVARIANT; caption rows are causal. captioning_prefill
+    # runs the query block once and freezes each layer's projected
+    # self-attn K/V; caption_decode_step pushes ONE caption row per token.
+    # ------------------------------------------------------------------ #
+    def captioning_prefill(self, multi_scale, mask_features):
+        """Run the 9-layer query block once; returns the per-layer frozen
+        state the per-token step needs."""
+        srcs, poss, sizes = self._prepare_memory(multi_scale)
+        b = srcs[0].shape[0]
+        nq = self.num_queries
+        output = jnp.broadcast_to(
+            self.query_feat[None], (b, nq, self.hidden_dim)
+        ).astype(self.dtype)
+        query_pos = jnp.broadcast_to(
+            self.query_embed[None], (b, nq, self.hidden_dim)
+        ).astype(self.dtype)
+        base_mask = build_base_self_mask(nq, self.contxt_len)
+        self_bias = jnp.where(
+            jnp.asarray(base_mask[:nq, :nq]), NEG_INF, 0.0
+        )[None, None]
+
+        results = self._prediction_heads(output, mask_features, None, "seg")
+        q_kv = []
+        for i in range(self.num_layers):
+            lvl = i % self.num_feature_levels
+            cross_bias = self._attn_bias_from_mask(
+                results["outputs_mask"], sizes[lvl]
+            )
+            output, kv = self.layers[i](
+                output, srcs[lvl], query_pos, poss[lvl].astype(self.dtype),
+                cross_bias, self_bias, collect_kv=True,
+            )
+            q_kv.append(kv)
+            results = self._prediction_heads(output, mask_features, None, "seg")
+        return {
+            "srcs": srcs,
+            "poss": [p.astype(self.dtype) for p in poss],
+            "q_kv": q_kv,
+        }
+
+    def init_caption_cache(self, batch: int):
+        """Zeroed per-layer caption K/V (entries beyond the current step are
+        causally masked, so zeros are never read)."""
+        z = jnp.zeros((batch, self.contxt_len, self.hidden_dim), self.dtype)
+        return [(z, z) for _ in range(self.num_layers)]
+
+    def caption_decode_step(self, prefill, cap_caches, tok_emb_t, step_idx):
+        """One caption token through all layers with cached K/V.
+
+        tok_emb_t (B, 1, C): the text tower's embedding of caption position
+        ``step_idx``. Returns (captioning logits row (B, width), updated
+        cap_caches). Matches the full run bit-for-bit in exact arithmetic:
+        the caption row's cross-attn bias is zero and its self-attn sees
+        [queries; captions <= step_idx], exactly its rows in __call__.
+        """
+        e = jax.lax.stop_gradient(tok_emb_t).astype(self.dtype)
+        pos_cap = jax.lax.dynamic_slice_in_dim(
+            self.pos_embed_caping, step_idx, 1, axis=0
+        )[None].astype(self.dtype)
+        e_pos = tok_emb_t.astype(self.dtype) + pos_cap
+        new_caches = []
+        for i in range(self.num_layers):
+            lvl = i % self.num_feature_levels
+            q_k, q_v = prefill["q_kv"][i]
+            cap_k, cap_v = cap_caches[i]
+            e, cap_k, cap_v = self.layers[i].caption_step(
+                e, e_pos, prefill["srcs"][lvl], prefill["poss"][lvl],
+                q_k, q_v, cap_k, cap_v, step_idx,
+            )
+            new_caches.append((cap_k, cap_v))
+        dec = self.decoder_norm(e)
+        return (dec @ self.caping_embed)[:, 0], new_caches

@@ -1,0 +1,63 @@
+"""Captioning decode bench: full 9-layer re-run per token (the reference's
+algorithm, interface/xdecoder.py:331-426) vs the KV-cached decode
+(VERDICT r2 item 4). ViT-B 1024², bf16, greedy, steps=20 (the pipeline's
+CAPTIONING_STEPS default). Reports ms/caption for both paths.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from iuvl_tpu.models.xdecoder.model import SysLearner, SysLearnerConfig  # noqa: E402
+
+STEPS = 20
+
+
+def main():
+    cfg = SysLearnerConfig(
+        sam_size="base", img_size=1024, dtype="bfloat16", attn_impl="auto",
+        msdeform_impl="auto",
+    )
+    model = SysLearner(cfg=cfg)
+    images0 = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+    text = jnp.zeros((134, cfg.syslearner_dim), jnp.float32)
+    params = jax.jit(
+        lambda r: model.init(r, images0, text, method=SysLearner.warmup)
+    )(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 1024, 1024, 3)) * 255
+
+    out = {}
+    for name, method in (
+        ("full_rerun", SysLearner.evaluate_captioning),
+        ("kv_cached", SysLearner.evaluate_captioning_cached),
+    ):
+        fn = jax.jit(lambda p, i, m=method: model.apply(
+            p, i, steps=STEPS, method=m))
+        ids = fn(params, img)
+        jax.block_until_ready(ids)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            ids = fn(params, img)
+            int(ids[0, 1])  # host fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best * 1e3, 2)
+        out[f"{name}_ids"] = [int(x) for x in jax.device_get(ids)[0][:8]]
+        del fn
+
+    out["speedup"] = round(out["full_rerun"] / out["kv_cached"], 3)
+    out["ids_match"] = out["full_rerun_ids"] == out["kv_cached_ids"]
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
