@@ -17,7 +17,7 @@ import numpy as np
 
 from .datasets import dataset_root, register_dataset
 from .transforms import pad_to_square, resize_longest_side
-from .visual_sampler import ShapeSampler
+from .visual_sampler import ShapeSampler, SimpleClickSampler
 
 
 class Ade20kSemSegDataset:
@@ -100,7 +100,7 @@ class PascalVocInteractiveDataset:
     visual prompt each (reference pascalvoc_dataset_mapper_ix.py:133-182)."""
 
     def __init__(self, root: str, image_size=1024, prompt_mode="Point",
-                 max_instances=8, seed=0):
+                 max_instances=8, seed=0, legacy_sampler=False):
         base = os.path.join(root, "VOCdevkit", "VOC2012")
         split_file = os.path.join(
             base, "ImageSets", "Segmentation", "val.txt"
@@ -110,9 +110,21 @@ class PascalVocInteractiveDataset:
         self.base = base
         self.image_size = image_size
         self.max_instances = max_instances
-        self.sampler = ShapeSampler(
-            max_candidate=max_instances, modes=(prompt_mode,), seed=seed
-        )
+        self.prompt_mode = prompt_mode
+        if legacy_sampler:
+            # Pre-round-4 behavior (random fg pixels) kept selectable for
+            # A/B; NOT the reference protocol.
+            self.sampler = ShapeSampler(
+                max_candidate=max_instances, modes=(prompt_mode,), seed=seed
+            )
+        else:
+            # The reference's eval path builds SimpleClickSampler
+            # (/root/reference/datasets/visual_sampler/__init__.py:5-6):
+            # first prompts are placed at the distance-transform argmax
+            # (deepest interior point), not random fg pixels.
+            self.sampler = SimpleClickSampler(
+                mask_mode=prompt_mode, seed=seed
+            )
 
     def __len__(self):
         return len(self.ids)
@@ -168,4 +180,7 @@ def _build_voc(cfg, split):
             "pascalvoc_val_") else ""
         mode = suffix if suffix in (
             "Point", "Scribble", "Polygon", "Circle", "Box") else "Point"
-    return PascalVocInteractiveDataset(root, prompt_mode=mode)
+    return PascalVocInteractiveDataset(
+        root, prompt_mode=mode,
+        legacy_sampler=cfg.get("LEGACY_SAMPLER", False),
+    )

@@ -159,6 +159,179 @@ SAMPLERS = {
 }
 
 
+# --------------------------------------------------------------------------- #
+# SimpleClickSampler — the sampler the reference's eval path actually builds
+# (/root/reference/datasets/visual_sampler/__init__.py:5-6 returns
+# SimpleClickSampler, not ShapeSampler).
+# --------------------------------------------------------------------------- #
+
+
+def distance_transform_conv(mask: np.ndarray, h: float = 0.35,
+                            max_iters: int | None = None) -> np.ndarray:
+    """Kornia-semantics cascaded-conv distance transform (numpy oracle).
+
+    Mirrors ``kornia.contrib.distance_transform`` as the reference uses it
+    (simpleclick_sampler.py:65, xdecoder_model.py:874): input is a binary
+    image whose NON-ZERO pixels are the seeds; the output at each pixel
+    approximates the Euclidean distance to the nearest seed, built ring by
+    ring with a 3x3 exp(-d/h) kernel and ``-h * log(conv)`` readout; seed
+    pixels read 0. O(diameter) 3x3 convs — use for tests / small masks; the
+    production Point sampler uses the exact EDT (``_edt``) which this
+    approximates.
+    """
+    seeds = mask.astype(bool)
+    hgt, wid = seeds.shape
+    if max_iters is None:
+        max_iters = int(np.ceil(max(hgt, wid)))
+    # 3x3 kernel of exp(-euclidean_dist / h), center weight exp(0) = 1.
+    yy, xx = np.meshgrid(np.arange(3) - 1, np.arange(3) - 1, indexing="ij")
+    kern = np.exp(-np.hypot(yy, xx) / h)
+
+    out = np.zeros((hgt, wid), np.float64)
+    boundary = seeds.astype(np.float64)
+    for i in range(max_iters):
+        padded = np.pad(boundary, 1, mode="edge")  # kornia border 'replicate'
+        conv = np.zeros_like(boundary)
+        for dy in range(3):
+            for dx in range(3):
+                conv += kern[dy, dx] * padded[dy:dy + hgt, dx:dx + wid]
+        with np.errstate(divide="ignore"):
+            cdt = -h * np.log(conv)
+        cdt = np.where(np.isfinite(cdt), cdt, 0.0)
+        grow = cdt > 0  # newly-reached ring (seeds and assigned read <= 0)
+        if not grow.any():
+            break
+        out = np.where(grow, i * 1.0 + cdt, out)
+        boundary = np.where(grow, 1.0, boundary)
+    return out
+
+
+def _edt(mask: np.ndarray) -> np.ndarray:
+    """Exact Euclidean distance from each pixel of ``mask`` to the nearest
+    background pixel, with the image border counted as background (the
+    reference zero-pads before its transform, simpleclick_sampler.py:65)."""
+    from scipy import ndimage
+
+    padded = np.pad(mask.astype(bool), 1)
+    return ndimage.distance_transform_edt(padded)[1:-1, 1:-1]
+
+
+def dt_argmax_point(mask: np.ndarray) -> tuple[int, int]:
+    """(y, x) of the deepest interior pixel of ``mask`` — the reference's
+    first-click placement (simpleclick_sampler.py:65-66: argmax of the
+    distance transform of the target region). Ties break first-in-raster
+    order like torch.max. Returns (0, 0) for an empty mask."""
+    if not mask.any():
+        return (0, 0)
+    dt = _edt(mask)
+    flat = int(np.argmax(dt))
+    return (flat // mask.shape[1], flat % mask.shape[1])
+
+
+class SimpleClickSampler:
+    """Protocol-exact eval prompt sampler (reference
+    /root/reference/datasets/visual_sampler/simpleclick_sampler.py:20-213).
+
+    Per mode, from the false-negative region ``fp = gt & ~pred & ~prev``
+    (just ``gt`` on the first round):
+
+    - ``Point``    : ONE click at the dt-argmax (deepest interior point),
+                     dilated ``dilation`` x ``dilation`` (:51-80).
+    - ``Circle``   : a stroke preset drawn from the dt-argmax point, kept on
+                     the object (:80-110 — Circle.draw_by_points).
+    - ``Scribble`` : same with a curve preset (:112-143).
+    - ``Polygon``  : bezier curve through <= max_points random fp pixels
+                     (:145-190).
+    - ``Box``      : gt mask with the gt box region filled (:192-204:
+                     rand_shapes = gt.clone(); rand_shapes[box] = 1).
+
+    Host-side numpy; ``pred``/``prev`` default to empty like the reference's
+    None branches.
+    """
+
+    def __init__(self, mask_mode: str = "Point", dilation: int = 3,
+                 max_points: int = 9, seed: int | None = None):
+        self.mask_mode = mask_mode
+        self.dilation = dilation
+        self.max_points = max_points
+        self.rng = np.random.RandomState(seed)
+
+    def _fp(self, gt, pred, prev):
+        gt = np.asarray(gt, bool)
+        pred = np.zeros_like(gt) if pred is None else np.asarray(pred, bool)
+        prev = np.zeros_like(gt) if prev is None else np.asarray(prev, bool)
+        return gt & ~(gt & pred) & ~prev
+
+    def _point_mask(self, fp: np.ndarray) -> tuple[np.ndarray, tuple[int, int]]:
+        y, x = dt_argmax_point(fp)
+        out = np.zeros_like(fp, dtype=bool)
+        out[y, x] = True
+        # Reference: conv2d with an all-ones (dilation x dilation) kernel,
+        # padding dilation//2 — one box dilation.
+        if self.dilation > 1:
+            r = self.dilation // 2
+            y0, y1 = max(0, y - r), min(fp.shape[0], y + r + 1)
+            x0, x1 = max(0, x - r), min(fp.shape[1], x + r + 1)
+            out[y0:y1, x0:x1] = True
+        return out, (y, x)
+
+    def __call__(self, gt_masks: np.ndarray, pred_masks=None, prev_masks=None) -> dict:
+        """gt_masks: (N, H, W). Returns dict(rand_shape (N, H, W) bool,
+        types, indices, click_points (N, 2) xy float — the exact dt-argmax
+        pixel per instance for point-prompt consumers)."""
+        n = len(gt_masks)
+        if n == 0:
+            return {"rand_shape": np.zeros((0, *gt_masks.shape[1:]), bool),
+                    "types": [], "indices": [],
+                    "click_points": np.zeros((0, 2), np.float32)}
+        shapes, clicks = [], []
+        for i in range(n):
+            fp = self._fp(
+                gt_masks[i],
+                None if pred_masks is None else pred_masks[i],
+                None if prev_masks is None else prev_masks[i],
+            )
+            if not fp.any():
+                fp = np.asarray(gt_masks[i], bool)
+            pt_mask, (y, x) = self._point_mask(fp)
+            clicks.append([x, y])
+            mode = self.mask_mode
+            if mode == "Point":
+                shapes.append(pt_mask)
+            elif mode == "Circle":
+                ring = sample_circle(_click_seed(fp, y, x), self.rng)
+                shapes.append((ring & fp) if (ring & fp).any() else pt_mask)
+            elif mode == "Scribble":
+                stroke = sample_scribble(fp, self.rng)
+                shapes.append(stroke if stroke.any() else pt_mask)
+            elif mode == "Polygon":
+                ys, xs = np.nonzero(fp)
+                k = self.rng.randint(1, max(min(self.max_points, len(ys)), 1) + 1)
+                shapes.append(sample_polygon(fp, self.rng, num_vertices=max(k, 3)))
+            elif mode == "Box":
+                out = np.asarray(gt_masks[i], bool).copy()
+                ys, xs = np.nonzero(out)
+                if len(ys):
+                    out[ys.min():ys.max() + 1, xs.min():xs.max() + 1] = True
+                shapes.append(out)
+            else:
+                raise ValueError(f"unknown mask_mode {mode!r}")
+        return {
+            "rand_shape": np.stack(shapes),
+            "types": [self.mask_mode.lower()] * n,
+            "indices": list(range(n)),
+            "click_points": np.asarray(clicks, np.float32),
+        }
+
+
+def _click_seed(fp: np.ndarray, y: int, x: int) -> np.ndarray:
+    """A mask whose single fg pixel is the dt-argmax click — lets the stroke
+    rasterizers center on the reference's click point."""
+    out = np.zeros_like(fp, dtype=bool)
+    out[y, x] = True
+    return out
+
+
 class ShapeSampler:
     """Reference visual_sampler/sampler.py:15-74: select up to
     ``max_candidate`` instances and draw one random-mode prompt per mask."""

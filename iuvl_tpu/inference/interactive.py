@@ -45,7 +45,18 @@ def mask_iou(pred: jax.Array, gt: jax.Array) -> jax.Array:
 def sample_fn_click(rng: jax.Array, gt: jax.Array, pred: jax.Array) -> jax.Array:
     """Sample one click per target uniformly from the false-negative region
     (fallback: whole gt if FN empty — reference :868-871). gt/pred (N, H, W)
-    bool. Returns (N, 2) xy coords (float)."""
+    bool. Returns (N, 2) xy coords (float).
+
+    Protocol-exactness note: the reference's "(best random)" draw samples
+    uniformly over ``{mask_dt > 0}`` where mask_dt is kornia's conv distance
+    transform of ``~fn`` (xdecoder_model.py:874-881). Under kornia semantics
+    the transform is 0 exactly on non-FN pixels and > 0 on EVERY FN pixel
+    (boundary FN pixels read ~1: a distance-1 seed contributes
+    -h*log(exp(-1/h)) = 1 > 0), so ``{dt > 0} == fn`` and uniform-over-FN
+    here IS the reference distribution — no strict-interior restriction
+    exists. Proven by tests/test_simpleclick.py::
+    test_conv_dt_zero_exactly_on_seeds against the kornia-semantics oracle
+    (iuvl_tpu.data.visual_sampler.distance_transform_conv)."""
     n, h, w = gt.shape
     fn = gt & ~pred
     fn = jnp.where(fn.any((-2, -1), keepdims=True), fn, gt)

@@ -237,6 +237,14 @@ class Block(nn.Module):
         )(y)
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, pad_hw, (h, w))
+        # Tag for the encoder's remat policy: saving the attention output
+        # ((B, H, W, C) bf16, ~12.6 MB/block at 1024^2 B=2) lets the
+        # backward replay skip BOTH fused forward kernels (attention and
+        # tail take only their inputs as custom-VJP residuals, so with `y`
+        # saved the replay reduces to norm1 + window partition).
+        from jax.ad_checkpoint import checkpoint_name
+
+        y = checkpoint_name(y, "attn_out")
 
         # Block tail (residual + norm2 + MLP + residual) through the ops
         # module: one fused Pallas call on TPU bf16 (ops/pallas/mlp_block),
@@ -372,7 +380,14 @@ class ImageEncoderViT(nn.Module):
             )
         x = x + pos_embed.astype(x.dtype)
 
-        block_cls = nn.remat(Block) if self.remat else Block
+        block_cls = (
+            nn.remat(
+                Block,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out"),
+            )
+            if self.remat else Block
+        )
         for i in range(self.depth):
             x = block_cls(
                 dim=self.embed_dim,

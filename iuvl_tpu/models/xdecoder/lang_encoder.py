@@ -39,34 +39,46 @@ class TFLayerNorm(nn.Module):
 
 
 class ResidualAttentionBlock(nn.Module):
-    """Reference LangEncoder/transformer.py:44-78."""
+    """Reference LangEncoder/transformer.py:44-78.
+
+    Setup-style (identical param tree to the earlier compact version) so
+    ``step`` — the single-position KV-cached decode used by the cached
+    captioning path — shares the same parameters as ``__call__``."""
 
     d_model: int
     n_head: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, causal_mask=None, key_padding_mask=None):
-        y = TFLayerNorm(name="ln_1")(x)
-        y = self._attention(y, causal_mask, key_padding_mask)
-        x = x + y
-        y = TFLayerNorm(name="ln_2")(x)
-        y = nn.Dense(self.d_model * 4, dtype=self.dtype, name="c_fc")(y)
+    def setup(self):
+        self.ln_1 = TFLayerNorm(name="ln_1")
+        self.in_proj = nn.Dense(3 * self.d_model, dtype=self.dtype, name="in_proj")
+        self.out_proj = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")
+        self.ln_2 = TFLayerNorm(name="ln_2")
+        self.c_fc = nn.Dense(self.d_model * 4, dtype=self.dtype, name="c_fc")
+        self.c_proj = nn.Dense(self.d_model, dtype=self.dtype, name="c_proj")
+
+    def _mlp(self, x):
+        y = self.ln_2(x)
+        y = self.c_fc(y)
         y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU
-        y = nn.Dense(self.d_model, dtype=self.dtype, name="c_proj")(y)
-        return x + y
+        return x + self.c_proj(y)
+
+    def __call__(self, x, causal_mask=None, key_padding_mask=None):
+        y = self.ln_1(x)
+        y = self._attention(y, causal_mask, key_padding_mask)
+        return self._mlp(x + y)
+
+    def _split_heads(self, t):
+        b, n, _ = t.shape
+        return t.reshape(b, n, self.n_head, -1).transpose(0, 2, 1, 3)
 
     def _attention(self, x, causal_mask, key_padding_mask):
         b, n, c = x.shape
         head_dim = c // self.n_head
         # Single packed in-projection to mirror torch MultiheadAttention.
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="in_proj")(x)
+        qkv = self.in_proj(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def split(t):
-            return t.reshape(b, n, self.n_head, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = split(q), split(k), split(v)
+        q, k, v = (self._split_heads(t) for t in (q, k, v))
         attn = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / (head_dim ** 0.5)
@@ -79,7 +91,36 @@ class ResidualAttentionBlock(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+        return self.out_proj(out)
+
+    def step(self, x_row, k_cache, v_cache, pos):
+        """One causal position with a growing K/V cache.
+
+        x_row: (B, 1, C) the block input at position ``pos``; k_cache /
+        v_cache: (B, T, C) with rows < pos valid. Returns
+        (out_row, k_cache, v_cache). Exact same math as ``__call__``'s row
+        ``pos`` under the causal mask (softmax over positions <= pos in
+        fp32; future cache rows masked to -inf like the triu mask)."""
+        b, _, c = x_row.shape
+        head_dim = c // self.n_head
+        t = k_cache.shape[1]
+        y = self.ln_1(x_row)
+        qkv = self.in_proj(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # each (B, 1, C)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, pos, 0))
+        qh = self._split_heads(q)  # (B, H, 1, d)
+        kh = self._split_heads(k_cache)
+        vh = self._split_heads(v_cache)
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) / (head_dim ** 0.5)
+        future = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3) > pos
+        attn = jnp.where(future, -jnp.inf, attn)
+        attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, 1, c)
+        return self._mlp(x_row + self.out_proj(out)), k_cache, v_cache
 
 
 class TextTransformer(nn.Module):
@@ -139,6 +180,30 @@ class TextTransformer(nn.Module):
 
         return self.ln_final(x)
 
+    def init_cache(self, batch: int):
+        """Zeroed per-layer (k, v) caches for ``decode_step``:
+        a list of ``layers`` pairs of (B, context_length, width)."""
+        z = jnp.zeros((batch, self.context_length, self.width), self.dtype)
+        return [(z, z) for _ in range(self.layers)]
+
+    def decode_step(self, token_ids, pos, caches):
+        """One causal position through the whole tower with KV caches.
+
+        token_ids: (B,) the id at position ``pos``; caches: as produced by
+        ``init_cache``/previous steps. Returns (hidden_row (B, 1, width),
+        caches). Row ``pos`` of ``__call__`` exactly (the tower is causal,
+        so positions < pos — already in the caches — fully determine it)."""
+        x = jnp.take(self.token_embedding, token_ids, axis=0)[:, None, :]
+        x = x + jax.lax.dynamic_slice_in_dim(
+            self.positional_embedding, pos, 1, axis=0
+        )[None]
+        x = x.astype(self.dtype)
+        new_caches = []
+        for blk, (k_c, v_c) in zip(self.resblocks, caches):
+            x, k_c, v_c = blk.step(x, k_c, v_c, pos)
+            new_caches.append((k_c, v_c))
+        return self.ln_final(x), new_caches
+
 
 class LanguageEncoder(nn.Module):
     """Reference vlpencoder.py:21-245. Methods return raw embeddings; the
@@ -196,6 +261,16 @@ class LanguageEncoder(nn.Module):
             class_x = class_x / (jnp.linalg.norm(class_x, axis=-1, keepdims=True) + 1e-7)
             token_x = token_x / (jnp.linalg.norm(token_x, axis=-1, keepdims=True) + 1e-7)
         return token_x, class_x
+
+    def init_text_cache(self, batch: int):
+        return self.lang_encoder.init_cache(batch)
+
+    def forward_token_step(self, token_ids, pos, caches):
+        """Incremental counterpart of ``forward_language_token`` for one
+        position: (B,) ids at ``pos`` -> ((B, 1, proj) projected token
+        embedding row, caches)."""
+        hidden, caches = self.lang_encoder.decode_step(token_ids, pos, caches)
+        return hidden @ self.lang_proj, caches
 
     def compute_similarity(self, v_emb, text_emb):
         """logit_scale * cos-sim of visual embeddings vs class text embeddings.

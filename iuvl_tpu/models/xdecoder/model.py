@@ -371,8 +371,11 @@ class SysLearner(nn.Module):
         (the reference's worst hot loop, interface/xdecoder.py:331-426).
         The query block runs once (captioning_prefill); each step pushes a
         single caption token against frozen query K/V + the growing caption
-        K/V. The CLIP text tower still re-runs per step (causal, so
-        position ``t`` is stable once emitted) — it is the residual cost.
+        K/V. The CLIP text tower is ALSO KV-cached (it is causal, so
+        position ``t`` is stable once emitted): each step embeds exactly
+        ONE new token through the 12-layer tower instead of re-running all
+        77 positions (the round-3 residual cost,
+        lang_encoder.ResidualAttentionBlock.step).
         """
         _, fpn = self.encode_image(images)
         mask_features, multi_scale = self.pixel_decoder(fpn)
@@ -381,21 +384,23 @@ class SysLearner(nn.Module):
         table = self.lang_encoder.lang_encoder.token_table()  # (V, width)
         prefill = self.predictor.captioning_prefill(multi_scale, mask_features)
         caches0 = self.predictor.init_caption_cache(b)
+        tcaches0 = self.lang_encoder.init_text_cache(b)
 
         def step_fn(carry, cap_idx):
-            ids, caches = carry
-            tok_emb, _ = self.lang_encoder.forward_language_token(ids)
-            e_t = jax.lax.dynamic_slice_in_dim(tok_emb, cap_idx, 1, axis=1)
+            ids, cur_id, caches, tcaches = carry
+            e_t, tcaches = self.lang_encoder.forward_token_step(
+                cur_id, cap_idx, tcaches
+            )  # (B, 1, proj) — the projected tower output at cap_idx
             row, caches = self.predictor.caption_decode_step(
                 prefill, caches, e_t, cap_idx
             )
             logits = row.astype(jnp.float32) @ table.T.astype(jnp.float32)
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
             ids = jax.lax.dynamic_update_slice(ids, nxt[:, None], (0, cap_idx + 1))
-            return (ids, caches), None
+            return (ids, nxt, caches, tcaches), None
 
-        (ids, _), _ = jax.lax.scan(
-            step_fn, (ids0, caches0),
+        (ids, _, _, _), _ = jax.lax.scan(
+            step_fn, (ids0, ids0[:, 0], caches0, tcaches0),
             jnp.arange(min(steps, self.cfg.contxt_len - 1)),
         )
         return ids

@@ -21,9 +21,13 @@ reference decomposed bias, /root/reference/sam/modeling/image_encoder.py:
 contracting the head dim of q and k directly ("nt" matmul, native on the
 MXU).
 
-Backward: custom VJP recomputing through the augmented-matmul XLA path
-(same pattern as window_attention.py) — grads flow to x and all four
-projection tensors plus the rel-pos tables.
+Backward: fused Pallas backward kernel (round-4, VERDICT r3 item 1): one
+call per window-chunk recomputes qkv/bias/softmax in VMEM and emits dx plus
+all projection/bias grads and the expanded rel-pos-table grads (weight
+accumulators VMEM-resident across grid steps); the small table-expansion
+VJP (Rh -> rel_pos_h) runs in XLA outside. Replaces the augmented-matmul
+XLA recompute, whose fp32 (N, N) scores and 92-wide augmented tensors
+round-tripped HBM per (window, head).
 """
 
 from __future__ import annotations
@@ -158,19 +162,206 @@ def window_attention_block(xw, wqkv, bqkv, wo, bo, rel_pos_h, rel_pos_w,
     return _block_forward(xw, wqkv, bqkv, wo, bo, Rh, Rw, win, heads)
 
 
+def _block_bwd_kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wo_ref,
+                      rht_ref, rwt_ref, mh_ref, mw_ref, ch_ref, eh_ref,
+                      ew_ref,
+                      dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+                      drht_ref, drwt_ref,
+                      acc_ref, dqkv_ref, *, wps: int, heads: int,
+                      scale: float):
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        drht_ref[...] = jnp.zeros_like(drht_ref)
+        drwt_ref[...] = jnp.zeros_like(drwt_ref)
+
+    c = x_ref.shape[2]
+    hd = c // heads
+    dt = x_ref.dtype
+    mh = mh_ref[...]
+    mw = mw_ref[...]
+    ch = ch_ref[...]
+    eh = eh_ref[...]
+    ew = ew_ref[...]
+    rht = rht_ref[...]
+    rwt = rwt_ref[...]
+    wqkv = wqkv_ref[...]
+    bqkv = bqkv_ref[...]
+    wo = wo_ref[...]
+
+    def nt(a, b):  # a (M, K) @ b (N, K)^T -> (M, N)
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    def tn(a, b):  # a (K, M)^T @ b (K, N) -> (M, N)
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
+    for wi in range(wps):
+        xq = x_ref[wi]                                       # (N, C)
+        g = g_ref[wi]                                        # (N, C)
+        qkv = (
+            jnp.dot(xq, wqkv, preferred_element_type=f32) + bqkv
+        ).astype(dt)                                         # (N, 3C)
+
+        # ---- recompute per-head attention, fill acc ---- #
+        probs = []  # fp32 softmax probs per head (kept for the bwd loop)
+        for h in range(heads):
+            qh = qkv[:, h * hd:(h + 1) * hd]
+            kh = qkv[:, c + h * hd:c + (h + 1) * hd]
+            vh = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            m1h = jnp.dot(qh, rht, preferred_element_type=f32) * mh
+            relh = jnp.dot(m1h, ch, preferred_element_type=f32)
+            m1w = jnp.dot(qh, rwt, preferred_element_type=f32) * mw
+            relw = jnp.dot(m1w, ch, preferred_element_type=f32)
+            s = nt(qh, kh) * scale
+            s = s + jnp.dot(relh, eh, preferred_element_type=f32)
+            s = s + jnp.dot(relw, ew, preferred_element_type=f32)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+            p32 = e / e.sum(axis=-1, keepdims=True)
+            probs.append(p32)
+            acc_ref[:, h * hd:(h + 1) * hd] = jnp.dot(
+                p32.astype(dt), vh, preferred_element_type=f32
+            ).astype(dt)
+
+        # ---- out-projection grads ---- #
+        acc = acc_ref[...]
+        dbo_ref[...] += jnp.sum(g.astype(f32), axis=0, keepdims=True)
+        dwo_ref[...] += tn(acc, g)
+        dacc = nt(g, wo).astype(dt)                          # (N, C)
+
+        # ---- per-head backward ---- #
+        for h in range(heads):
+            qh = qkv[:, h * hd:(h + 1) * hd]
+            kh = qkv[:, c + h * hd:c + (h + 1) * hd]
+            vh = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            p32 = probs[h]
+            p = p32.astype(dt)
+            doh = dacc[:, h * hd:(h + 1) * hd]               # (N, hd)
+            dp = nt(doh, vh)                                 # (N, N) f32
+            dvh = tn(p, doh)                                 # (N, hd)
+            ds32 = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+            ds = ds32.astype(dt)
+            dqh = jnp.dot(ds, kh, preferred_element_type=f32) * scale
+            dkh = tn(ds, qh) * scale                         # (N, hd)
+            # rel-pos branches: s += ((q@rht)*mh)@ch@eh (+ w analog)
+            drelh = nt(ds32, eh)                             # (N, win)
+            dm1h = nt(drelh, ch) * mh                        # (N, N) f32
+            dqh = dqh + nt(dm1h.astype(dt), rht)             # (N, hd)
+            drht_ref[...] += tn(qh, dm1h.astype(dt))         # (hd, N)
+            drelw = nt(ds32, ew)
+            dm1w = nt(drelw, ch) * mw
+            dqh = dqh + nt(dm1w.astype(dt), rwt)
+            drwt_ref[...] += tn(qh, dm1w.astype(dt))
+            dqkv_ref[:, h * hd:(h + 1) * hd] = dqh.astype(dt)
+            dqkv_ref[:, c + h * hd:c + (h + 1) * hd] = dkh.astype(dt)
+            dqkv_ref[:, 2 * c + h * hd:2 * c + (h + 1) * hd] = dvh.astype(dt)
+
+        dqkv = dqkv_ref[...]
+        dbqkv_ref[...] += jnp.sum(dqkv.astype(f32), axis=0, keepdims=True)
+        dwqkv_ref[...] += tn(xq, dqkv)
+        dx_ref[wi] = nt(dqkv, wqkv).astype(dt)
+
+
+def _block_backward(xw, g, wqkv, bqkv, wo, Rh, Rw, win: int, heads: int):
+    nw, n, c = xw.shape
+    hd = c // heads
+    scale = hd ** -0.5
+    wps = 1
+    for cand in (5, 4, 3, 2):
+        if nw % cand == 0:
+            wps = cand
+            break
+    maskH, maskW, CH, _, EH, EW = _bias_consts(win)
+    dt = xw.dtype
+    rht = Rh.transpose(2, 0, 1).reshape(hd, n).astype(dt)
+    rwt = Rw.transpose(2, 0, 1).reshape(hd, n).astype(dt)
+    consts = [rht, rwt,
+              jnp.asarray(maskH), jnp.asarray(maskW),
+              jnp.asarray(CH), jnp.asarray(EH), jnp.asarray(EW)]
+    wq = wqkv.astype(dt)
+    bq = bqkv.astype(jnp.float32)
+    wo_ = wo.astype(dt)
+    f32 = jnp.float32
+    xspec = pl.BlockSpec((wps, n, c), lambda i: (i, 0, 0))
+    cspec = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp))
+    outs = pl.pallas_call(
+        functools.partial(_block_bwd_kernel, wps=wps, heads=heads,
+                          scale=scale),
+        grid=(nw // wps,),
+        in_specs=[xspec, xspec]
+        + [cspec(t.shape) for t in (wq, bq, wo_)]
+        + [cspec(t.shape) for t in consts],
+        out_specs=[
+            xspec,
+            cspec((c, 3 * c)), cspec((1, 3 * c)),
+            cspec((c, c)), cspec((1, c)),
+            cspec((hd, n)), cspec((hd, n)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nw, n, c), dt),       # dx
+            jax.ShapeDtypeStruct((c, 3 * c), f32),      # dWqkv
+            jax.ShapeDtypeStruct((1, 3 * c), f32),      # dbqkv
+            jax.ShapeDtypeStruct((c, c), f32),          # dWo
+            jax.ShapeDtypeStruct((1, c), f32),          # dbo
+            jax.ShapeDtypeStruct((hd, n), f32),         # d_rht
+            jax.ShapeDtypeStruct((hd, n), f32),         # d_rwt
+        ],
+        scratch_shapes=[pltpu.VMEM((n, c), dt), pltpu.VMEM((n, 3 * c), dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(xw, g, wq, bq, wo_, *consts)
+    return outs
+
+
 def _wab_fwd(xw, wqkv, bqkv, wo, bo, rel_pos_h, rel_pos_w, win, heads):
     out = window_attention_block(xw, wqkv, bqkv, wo, bo, rel_pos_h,
                                  rel_pos_w, win, heads)
     return out, (xw, wqkv, bqkv, wo, bo, rel_pos_h, rel_pos_w)
 
 
-def _wab_bwd(win, heads, res, g):
+def _wab_bwd_xla(win, heads, res, g):
     xw, wqkv, bqkv, wo, bo, rel_pos_h, rel_pos_w = res
     out, vjp = jax.vjp(
         lambda *a: _block_xla(*a, win, heads),
         xw, wqkv, bqkv, wo, bo, rel_pos_h, rel_pos_w,
     )
     return vjp(g.astype(out.dtype))
+
+
+def _wab_bwd(win, heads, res, g):
+    from ..rel_pos_attention import rel_pos_table
+
+    xw, wqkv, bqkv, wo, bo, rel_pos_h, rel_pos_w = res
+    # Expand the stored tables exactly as the forward does, take the kernel's
+    # grads wrt the expanded (transposed) tables, then run the tiny
+    # expansion VJP in XLA (a (2*win-1)-row segment sum).
+    def expand(rp_h, rp_w):
+        Rh = rel_pos_table(win, win, rp_h.astype(jnp.float32))
+        Rw = rel_pos_table(win, win, rp_w.astype(jnp.float32))
+        return Rh, Rw
+
+    (Rh, Rw), expand_vjp = jax.vjp(expand, rel_pos_h, rel_pos_w)
+    dx, dwqkv, dbqkv, dwo, dbo, drht, drwt = _block_backward(
+        xw, g.astype(xw.dtype), wqkv, bqkv, wo, Rh, Rw, win, heads)
+    hd = rel_pos_h.shape[-1]
+    dRh = drht.reshape(hd, win, win).transpose(1, 2, 0)
+    dRw = drwt.reshape(hd, win, win).transpose(1, 2, 0)
+    d_rph, d_rpw = expand_vjp((dRh, dRw))
+    return (dx, dwqkv.reshape(wqkv.shape).astype(wqkv.dtype),
+            dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+            dwo.reshape(wo.shape).astype(wo.dtype),
+            dbo.reshape(bo.shape).astype(bo.dtype),
+            d_rph.astype(rel_pos_h.dtype), d_rpw.astype(rel_pos_w.dtype))
 
 
 window_attention_block.defvjp(_wab_fwd, _wab_bwd)

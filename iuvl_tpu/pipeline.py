@@ -395,6 +395,7 @@ class XDecoderPipeline:
         loop = make_interactive_loop(
             self.model, max_clicks=max_clicks, unified=unified
         )
+        prompt_mode = getattr(ds, "prompt_mode", "Point")
         n = len(ds) if max_batches is None else min(len(ds), max_batches)
         for i in range(n):
             item = ds[i]
@@ -404,12 +405,40 @@ class XDecoderPipeline:
                 params, jnp.asarray(item["image"])[None]
             )
             gt = jnp.asarray(item["gt_masks"])
-            # First click: a random prompt pixel per instance (prompts are in
-            # model input space, matching the gt masks — see eval_datasets).
-            firsts = []
-            for m in np.asarray(item["spatial_query"]["rand_shape"]):
-                ys, xs = np.nonzero(m)
-                firsts.append([xs[0], ys[0]] if len(ys) else [0, 0])
+            if prompt_mode != "Point":
+                # Box/circle/scribble/polygon prompts are single-shot in the
+                # reference (evaluate_interactive :769-850) — no click loop.
+                from .data.visual_sampler import box_points
+                from .inference.interactive import single_shot_eval
+
+                gtn = np.asarray(item["gt_masks"])
+                boxes = (
+                    np.stack([box_points(m) for m in gtn])
+                    if prompt_mode == "Box" else None
+                )
+                ious, _ = single_shot_eval(
+                    self.model, params, sam_emb, gtn,
+                    "box" if prompt_mode == "Box" else "stroke",
+                    prompt_masks=np.asarray(
+                        item["spatial_query"]["rand_shape"]),
+                    boxes=boxes, seed=i,
+                )
+                for k in range(len(gtn)):
+                    evaluator.process(np.asarray(ious)[k : k + 1])
+                continue
+            # First click per instance, in model input space (matching the
+            # gt masks — see eval_datasets). SimpleClickSampler provides the
+            # protocol-exact dt-argmax pixel (reference
+            # simpleclick_sampler.py:65-66); the legacy ShapeSampler path
+            # falls back to a prompt-mask pixel.
+            sq = item["spatial_query"]
+            if "click_points" in sq:
+                firsts = np.asarray(sq["click_points"], np.float32)
+            else:
+                firsts = []
+                for m in np.asarray(sq["rand_shape"]):
+                    ys, xs = np.nonzero(m)
+                    firsts.append([xs[0], ys[0]] if len(ys) else [0, 0])
             ious, _ = loop(
                 params, sam_emb, mask_features, multi_scale, gt,
                 jnp.asarray(np.asarray(firsts, np.float32)),

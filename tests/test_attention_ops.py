@@ -806,3 +806,76 @@ def test_rel_pos_attention_proj_matches_unfused_xla():
     b, h_, n_, d_ = att.shape
     ref = att.transpose(0, 2, 1, 3).reshape(b, n_, h_ * d_) @ wo + bo
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_block_tail_fused_bwd_all_args():
+    """Round-4 fused Pallas backward: grads for ALL eight tail args match
+    the XLA-vjp reference, fp32 and bf16 (interpret mode)."""
+    from iuvl_tpu.ops.pallas import mlp_block as mb
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a_, **kw):
+        kw["interpret"] = True
+        return orig(*a_, **kw)
+
+    # bf16 tolerance: the fused kernel accumulates weight grads in fp32
+    # across row chunks while the XLA vjp rounds partial products through
+    # bf16 — isolated small-magnitude elements can disagree by ~1 bf16 ulp
+    # of the running sum.
+    for dtype, atol in ((np.float32, 1e-4), (jnp.bfloat16, 2.5e-1)):
+        args = _tail_inputs(seed=31)
+        args = tuple(t.astype(dtype) if i < 2 else t
+                     for i, t in enumerate(args))
+
+        def run(fn):
+            def f(*a_):
+                return (fn(*a_).astype(jnp.float32) ** 2).sum()
+            return jax.grad(f, argnums=tuple(range(8)))(*args)
+
+        mb.pl.pallas_call = interp
+        try:
+            g_k = run(mb.block_tail)
+        finally:
+            mb.pl.pallas_call = orig
+        g_ref = run(mb._tail_xla)
+        for ga, gb in zip(g_k, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(ga, np.float32), np.asarray(gb, np.float32),
+                atol=atol, rtol=atol)
+
+
+def test_window_block_fused_bwd_all_args():
+    """Round-4 fused Pallas backward for the whole-attention window kernel:
+    grads for ALL seven args match the XLA-vjp reference, fp32 and bf16."""
+    from iuvl_tpu.ops.pallas import window_block as wb
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a_, **kw):
+        kw["interpret"] = True
+        return orig(*a_, **kw)
+
+    win, heads = 4, 2
+    for dtype, atol in ((np.float32, 2e-4), (jnp.bfloat16, 2.5e-1)):
+        args = _block_inputs(win=win, heads=heads, nw=4, seed=41)
+        args = tuple(t.astype(dtype) if i == 0 else t
+                     for i, t in enumerate(args))
+
+        def run(fn):
+            def f(*a_):
+                return (fn(*a_, win, heads).astype(jnp.float32) ** 2).sum()
+            return jax.grad(f, argnums=tuple(range(7)))(*args)
+
+        wb.pl.pallas_call = interp
+        try:
+            g_k = run(wb.window_attention_block)
+        finally:
+            wb.pl.pallas_call = orig
+        g_ref = run(wb._block_xla)
+        for ga, gb in zip(g_k, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(ga, np.float32), np.asarray(gb, np.float32),
+                atol=atol, rtol=atol)

@@ -85,3 +85,29 @@ def test_caption_step_row_matches_full_layer_row():
         np.asarray(full_out[:, nq:]), np.asarray(cached_rows),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_text_tower_step_matches_full_forward():
+    """Round-4: the CLIP text tower's KV-cached decode_step reproduces the
+    full causal forward row-by-row (lang_encoder.ResidualAttentionBlock.step
+    vs __call__ under the triu mask)."""
+    from iuvl_tpu.models.xdecoder.lang_encoder import TextTransformer
+
+    rs = np.random.RandomState(0)
+    tower = TextTransformer(
+        context_length=9, vocab_size=50, width=32, layers=3, heads=4
+    )
+    ids = jnp.asarray(rs.randint(0, 50, (2, 9)), jnp.int32)
+    params = tower.init(jax.random.PRNGKey(0), ids)
+    full = tower.apply(params, ids)  # (2, 9, 32)
+
+    caches = tower.apply(params, 2, method=TextTransformer.init_cache)
+    rows = []
+    for t in range(9):
+        row, caches = tower.apply(
+            params, ids[:, t], t, caches, method=TextTransformer.decode_step
+        )
+        rows.append(row[:, 0])
+    inc = jnp.stack(rows, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(inc),
+                               rtol=1e-5, atol=1e-5)
