@@ -64,6 +64,9 @@ class MSDeformAttn(nn.Module):
         reference_points: jax.Array,  # (B, Lq, n_levels, 2) in [0, 1]
         value_src: jax.Array,  # (B, S, C)
         spatial_shapes: Sequence[tuple[int, int]],
+        sg: str = "",  # profiling knob: stop-gradient one cotangent chain
+        # ("loc" | "attn" | "value") to attribute backward cost
+        # (scripts/bench_layer_bwd.py); "" in production.
     ) -> jax.Array:
         b, lq, _ = query.shape
         s = value_src.shape[1]
@@ -96,6 +99,22 @@ class MSDeformAttn(nn.Module):
             reference_points[:, :, None, :, None, :]
             + offsets / normalizer[None, None, None, :, None, :]
         )
+
+        # Tag the gather-core INPUTS for the remat policy (round 4): with
+        # value/locations/attn saved (~95 MB/layer at 1024^2 B=2), the
+        # backward replay of a layer reduces to the single re-gather the
+        # bilinear-sampling VJP intrinsically needs — the projection/offsets
+        # replay disappears and, with the core output below also saved, so
+        # does the forward weighted-reduce.
+        value = checkpoint_name(value, "deform_value")
+        locations = checkpoint_name(locations, "deform_loc")
+        attn = checkpoint_name(attn, "deform_attn")
+        if sg == "loc":
+            locations = jax.lax.stop_gradient(locations)
+        elif sg == "attn":
+            attn = jax.lax.stop_gradient(attn)
+        elif sg == "value":
+            value = jax.lax.stop_gradient(value)
 
         out = ms_deform_attn_core(
             value, spatial_shapes, locations, attn, impl=self.impl
@@ -235,7 +254,8 @@ class DeformablePixelDecoder(nn.Module):
                 DeformableEncoderLayer,
                 static_argnums=(4,),
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "deform_core"
+                    "deform_core", "deform_value", "deform_loc",
+                    "deform_attn",
                 ),
             )
             if self.remat else DeformableEncoderLayer

@@ -73,7 +73,15 @@ def ms_deform_attn_core(
         #   gather already runs far above its uniform-random rate while the
         #   scan pays stack/pad materialization and loses fusion with the
         #   weighted reduce.
-        impl = "wide"
+        # Batch > 1 (training shapes) routes to 'flat' (round 4): per-image
+        # gathers stay on the fast gather path, and the hand-written VJP
+        # avoids XLA autodiff's 6-D relayouts and bf16 scatters (see
+        # _flat_level). B=1 serving keeps the measured-optimal 'wide'.
+        impl = "flat" if value.shape[0] > 1 else "wide"
+    if impl == "flat":
+        return _ms_deform_attn_flat(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
     if impl == "scan":
         return _ms_deform_attn_scan(
             value, spatial_shapes, sampling_locations, attention_weights
@@ -256,15 +264,30 @@ def _bilinear_gather_wide(v_flat, h, w, x, y):
     # index lowers to a ~2.3x faster HLO gather path than the batched
     # take_along_axis (measured v5e: 8.58 -> 3.69 ms, 186M rows/s, on
     # res3-like shapes — scripts/bench_gather.py variants).
+    #
+    # Batch UNROLL (round 4): one flat gather over the whole batch falls off
+    # the fast gather path once the operand crosses ~100 MB — measured 79M
+    # rows/s for one B=2 res3 gather vs 251M rows/s as two per-image gathers
+    # (scripts/bench_gather_bsplit.py; this is the 'batch-2 eval cliff' of
+    # ROADMAP r2). Per-image gathers also make the autodiff d_value
+    # scatter-adds per-image. B is static, so the Python loop unrolls.
     hw = h * w
     base = (
-        jax.lax.broadcasted_iota(jnp.int32, (b, nh, lq, p), 0) * (nh * hw)
-        + jax.lax.broadcasted_iota(jnp.int32, (b, nh, lq, p), 1) * hw
+        jax.lax.broadcasted_iota(jnp.int32, (1, nh, lq, p), 0) * 0
+        + jax.lax.broadcasted_iota(jnp.int32, (1, nh, lq, p), 1) * hw
     )
-    flat_idx = (base + idx).reshape(-1)
-    g = jnp.take(
-        v4.reshape(b * nh * hw, 4 * d), flat_idx, axis=0, mode="clip"
-    ).reshape(b, nh, lq, p, 4, d)
+    if b == 1:
+        flat_idx = (base + idx).reshape(-1)
+        g = jnp.take(
+            v4.reshape(nh * hw, 4 * d), flat_idx, axis=0, mode="clip"
+        ).reshape(b, nh, lq, p, 4, d)
+    else:
+        per_img = []
+        v4r = v4.reshape(b, nh * hw, 4 * d)
+        for i in range(b):
+            fi = (base + idx[i : i + 1]).reshape(-1)
+            per_img.append(jnp.take(v4r[i], fi, axis=0, mode="clip"))
+        g = jnp.stack(per_img).reshape(b, nh, lq, p, 4, d)
 
     # Tap weights with zero-padding validity (locations may be far out of
     # bounds — predicted offsets are unconstrained — so check both sides).
@@ -380,6 +403,187 @@ def _level_onehot_bwd(hl, wl, res, g):
 
 
 _level_contribution_onehot.defvjp(_level_onehot_fwd, _level_onehot_bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_selectors(d: int, p: int):
+    """Static selector matrices for the flat-layout core (see
+    _ms_deform_attn_flat): reductions and broadcasts over (P, slot, d)
+    become small constant matmuls on the MXU instead of 6-D reshapes."""
+    import numpy as _np
+
+    # (4, 4d): slot s -> lanes [s*d, (s+1)*d)
+    m_expand = _np.zeros((4, 4 * d), _np.float32)
+    for s in range(4):
+        m_expand[s, s * d:(s + 1) * d] = 1.0
+    # (d, 4d): feature d' -> same lane in all four slots
+    m_tile = _np.tile(_np.eye(d, dtype=_np.float32), (1, 4))
+    # (4d, 4): lane-group sum
+    m_slot = m_expand.T.copy()
+    # (p*4d, d): sum over p rows-in-lane-space and slots onto d lanes
+    m_out = _np.tile(m_tile.T, (p, 1))
+    # big-row variants ((q, p*4d) layout — one row per query):
+    # (d, p*4d): feature -> same lane in all p*4 slots
+    m_tile_big = _np.tile(_np.eye(d, dtype=_np.float32), (1, 4 * p))
+    # (p*4, p*4d): (p, slot) pair -> its d-lane group
+    m_expand_big = _np.zeros((p * 4, p * 4 * d), _np.float32)
+    for ps in range(p * 4):
+        m_expand_big[ps, ps * d:(ps + 1) * d] = 1.0
+    # (p*4d, 128): lane-group sums in the first p*4 columns, zero-padded to
+    # a full 128-lane output tile (a p*4=16-lane matmul output forces XLA
+    # into relayouts; padded columns are free on the MXU)
+    m_slot_big = _np.zeros((p * 4 * d, 128), _np.float32)
+    m_slot_big[:, : p * 4] = m_expand_big.T
+    # numpy in the cache (jnp arrays created under a trace would leak
+    # tracers); jnp.asarray at the call site constant-folds in XLA.
+    return m_expand, m_tile, m_slot, m_out, m_tile_big, m_expand_big, m_slot_big
+
+
+def _flat_gather_rows(v4_i, idx_i):
+    """(nh*hw, 4d) map, (R,) indices -> (R, 4d) rows."""
+    return jnp.take(v4_i, idx_i, axis=0, mode="clip")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flat_level(v_l, hl, wl, x, y, aw_l):
+    """Per-level deformable contribution in FLAT row layout with a manual
+    VJP (round 4). v_l (B, nh, HW, d) bf16/f32; x, y, aw_l (B, nh, Lq, P).
+    Returns (B, nh, Lq, d) fp32.
+
+    Why this exists: XLA's autodiff of the wide gather runs its backward in
+    (B, nh, Lq, P, 4, d) 6-D layouts — profiled at B=2 1024^2 (ROADMAP r4):
+    ~250 ms of physical reshapes T(8,128)<->T(4,128), ~330 ms of
+    half-throughput d=64-minor VPU chains, and bf16 scatter-adds running 3x
+    slower than f32 ones. Here forward AND backward keep every large tensor
+    in (rows, 4d) layout (the gather/scatter-native shape), turn the
+    (P, slot, d) reductions/broadcasts into constant selector matmuls, run
+    the d_value scatter in f32, and unroll the batch (one flat gather per
+    image stays on XLA's fast gather path — scripts/bench_gather_bsplit.py:
+    79 -> 251M rows/s).
+    """
+    out, _ = _flat_level_fwd_impl(v_l, hl, wl, x, y, aw_l)
+    return out
+
+
+def _flat_level_fwd_impl(v_l, hl, wl, x, y, aw_l):
+    b, nh, hw, d = v_l.shape
+    lq, p = x.shape[2], x.shape[3]
+    r = nh * lq * p
+    sel = _flat_selectors(d, p)
+    m_expand, m_out = jnp.asarray(sel[0]), jnp.asarray(sel[3])
+    idx, wslot = _wide_idx_wslot(v_l.dtype, hl, wl, x, y)
+    wa = wslot * aw_l.astype(jnp.float32)[..., None]      # (B, nh, Lq, P, 4)
+    base = jax.lax.broadcasted_iota(jnp.int32, (nh, lq, p), 0) * hw
+    v4 = _wide_map(v_l, wl)                               # (B, nh, HW, 4d)
+    outs = []
+    for i in range(b):
+        idx_i = (base + idx[i]).reshape(r)
+        g4 = _flat_gather_rows(v4[i].reshape(nh * hw, 4 * d), idx_i)
+        waexp = jnp.dot(wa[i].reshape(r, 4), m_expand,
+                        preferred_element_type=jnp.float32)  # (R, 4d)
+        prod = g4.astype(jnp.float32) * waexp
+        o = jnp.dot(prod.reshape(nh * lq, p * 4 * d), m_out,
+                    preferred_element_type=jnp.float32)      # (nh*Lq, d)
+        outs.append(o.reshape(nh, lq, d))
+    return jnp.stack(outs), (idx, wa, base)
+
+
+def _flat_level_fwd(v_l, hl, wl, x, y, aw_l):
+    out, _ = _flat_level_fwd_impl(v_l, hl, wl, x, y, aw_l)
+    return out, (v_l, x, y, aw_l)
+
+
+def _flat_level_bwd(hl, wl, res, gout):
+    v_l, x, y, aw_l = res
+    b, nh, hw, d = v_l.shape
+    lq, p = x.shape[2], x.shape[3]
+    r = nh * lq * p
+    f32 = jnp.float32
+    # NOTE measured NEGATIVE variant (v5e, B=2 1024^2 composed pix_grad):
+    # replacing the jnp.repeat cotangent tiling + (4d, 4) lane-group dots
+    # below with "big-row" (nh*Lq, p*4d) selector MATMULS (m_tile_big /
+    # m_expand_big / 128-padded m_slot_big) measured 1248 -> 1352 ms — the
+    # fp32 selector matmuls write 700 MB intermediates that the
+    # repeat/broadcast path streams. Selectors kept in _flat_selectors for
+    # reference; this is the measured-faster formulation.
+    sel = _flat_selectors(d, p)
+    m_expand, m_tile, m_slot = (jnp.asarray(m) for m in sel[:3])
+
+    # wslot rebuilt cheaply; its (x, y) VJP via autodiff of the pure
+    # elementwise builder (exact, no manual derivative math). idx is
+    # integer (non-differentiable) — keep it out of the vjp closure.
+    idx = _wide_idx_wslot(v_l.dtype, hl, wl, x, y)[0]
+    wslot, wslot_vjp = jax.vjp(
+        lambda xx, yy: _wide_idx_wslot(v_l.dtype, hl, wl, xx, yy)[1], x, y)
+    aw32 = aw_l.astype(f32)
+    wa = wslot * aw32[..., None]
+    base = jax.lax.broadcasted_iota(jnp.int32, (nh, lq, p), 0) * hw
+    v4 = _wide_map(v_l, wl)
+    dwa_imgs, dv4_imgs = [], []
+    for i in range(b):
+        idx_i = (base + idx[i]).reshape(r)
+        g4 = _flat_gather_rows(v4[i].reshape(nh * hw, 4 * d), idx_i)
+        # cotangent rows: gout (nh*Lq, d) -> tiled lanes -> P-repeated rows
+        gt = jnp.dot(gout[i].reshape(nh * lq, d).astype(f32), m_tile,
+                     preferred_element_type=f32)            # (nh*Lq, 4d)
+        gt_rows = jnp.repeat(gt, p, axis=0)                 # (R, 4d) f32
+        # d_wa (per slot): rowwise dots via lane-group-sum matmul
+        dots = jnp.dot(g4.astype(f32) * gt_rows, m_slot,
+                       preferred_element_type=f32)          # (R, 4)
+        dwa_imgs.append(dots)
+        # d_v4 rows, scattered in f32 (bf16 scatter-add measures 3x slower)
+        waexp = jnp.dot(wa[i].reshape(r, 4), m_expand,
+                        preferred_element_type=f32)
+        contrib = waexp * gt_rows                           # (R, 4d) f32
+        dv4_imgs.append(
+            jnp.zeros((nh * hw, 4 * d), f32).at[idx_i].add(contrib)
+        )
+
+    dwa = jnp.stack(dwa_imgs).reshape(b, nh, lq, p, 4)
+    d_aw = (dwa * wslot).sum(-1).astype(aw_l.dtype)
+    d_wslot = dwa * aw32[..., None]
+    d_x, d_y = wslot_vjp(d_wslot)
+    # v4 = [v, v>>1x, v>>1y, v>>1xy] -> fold slot planes back with inverse
+    # rolls (linear, exact transpose of _wide_map).
+    dv4 = jnp.stack(dv4_imgs).reshape(b, nh, hw, 4 * d)
+    d_v = (
+        dv4[..., :d]
+        + jnp.roll(dv4[..., d:2 * d], 1, axis=2)
+        + jnp.roll(dv4[..., 2 * d:3 * d], wl, axis=2)
+        + jnp.roll(dv4[..., 3 * d:], wl + 1, axis=2)
+    )
+    return (d_v.astype(v_l.dtype), d_x.astype(x.dtype), d_y.astype(y.dtype),
+            d_aw)
+
+
+_flat_level.defvjp(_flat_level_fwd, _flat_level_bwd)
+
+
+def _ms_deform_attn_flat(value, spatial_shapes, sampling_locations,
+                         attention_weights):
+    """Flat-layout wide-gather deformable core (round 4): identical math to
+    impl='wide' with the attention weight folded into the slot weights
+    (associative over the p/slot axes, like the 'fused' variants), but all
+    large tensors stay in gather-native (rows, 4d) layout and the backward
+    is the hand-written _flat_level VJP."""
+    b, s, nh, d = value.shape
+    lq = sampling_locations.shape[1]
+    level_sizes = [h * w for h, w in spatial_shapes]
+    assert sum(level_sizes) == s, (spatial_shapes, s)
+    v = value.transpose(0, 2, 1, 3)
+    out = None
+    start = 0
+    for lvl, (hl, wl) in enumerate(spatial_shapes):
+        v_l = jax.lax.slice_in_dim(v, start, start + hl * wl, axis=2)
+        start += hl * wl
+        loc = sampling_locations[:, :, :, lvl]
+        x = loc[..., 0].transpose(0, 2, 1, 3) * wl - 0.5
+        y = loc[..., 1].transpose(0, 2, 1, 3) * hl - 0.5
+        aw = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
+        c = _flat_level(v_l, hl, wl, x, y, aw)
+        out = c if out is None else out + c
+    # stays fp32 like the 'wide' path (its level sum promotes to fp32)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, nh * d)
 
 
 def _ms_deform_attn_fused(value, spatial_shapes, sampling_locations,

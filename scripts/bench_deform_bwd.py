@@ -47,32 +47,52 @@ def core(value, loc, attn, impl="wide"):
     return out.astype(jnp.float32).sum()
 
 
-def timeit(fn, args, iters=10):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else \
-        jax.block_until_ready(fn(*args))
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+def _gsum(tree):
+    tot = jnp.float32(0.0)
+    for v in jax.tree_util.tree_leaves(tree):
+        tot = tot + v.astype(jnp.float32).sum()
+    return tot
+
+
+def chain(fn, iters):
+    """Chained-scan timing (block_until_ready is unreliable over the axon
+    tunnel — force completion with a scalar host fetch, difference K vs 1
+    chained iterations to cancel dispatch RTT)."""
+    def run(value, loc, attn):
+        def body(carry, _):
+            return fn(value + carry * 0, loc, attn), None
+        out, _ = jax.lax.scan(body, jnp.bfloat16(0), None, length=iters)
+        return out.astype(jnp.float32)
+    return jax.jit(run)
+
+
+def timed_diff(run1, runk, args, k_minus_1, repeats=3):
+    float(run1(*args)); float(runk(*args))
+    b1 = bk = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter(); float(run1(*args)); b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(runk(*args)); bk = min(bk, time.perf_counter() - t0)
+    return (bk - b1) / k_minus_1
 
 
 def main():
     value, loc, attn = make_inputs()
     nlayers = 6  # the pixel decoder runs 6 of these
 
-    fwd = jax.jit(core)
-    g_all = jax.jit(jax.grad(core, argnums=(0, 1, 2)))
-    g_noval = jax.jit(jax.grad(
-        lambda v, l, a: core(jax.lax.stop_gradient(v), l, a), argnums=(1, 2)))
-    g_val = jax.jit(jax.grad(
-        lambda v, l, a: core(v, jax.lax.stop_gradient(l),
-                             jax.lax.stop_gradient(a)), argnums=(0,)))
-
-    for name, fn in [("fwd", fwd), ("grad_all", g_all),
-                     ("grad_noval", g_noval), ("grad_val", g_val)]:
-        t = timeit(fn, (value, loc, attn))
+    cases = {
+        "fwd": lambda v, l, a: core(v, l, a).astype(jnp.bfloat16),
+        "grad_all": lambda v, l, a: _gsum(
+            jax.grad(core, argnums=(0, 1, 2))(v, l, a)).astype(jnp.bfloat16),
+        "grad_noval": lambda v, l, a: _gsum(jax.grad(
+            lambda vv, ll, aa: core(jax.lax.stop_gradient(vv), ll, aa),
+            argnums=(1, 2))(v, l, a)).astype(jnp.bfloat16),
+        "grad_val": lambda v, l, a: _gsum(jax.grad(
+            lambda vv, ll, aa: core(vv, jax.lax.stop_gradient(ll),
+                                    jax.lax.stop_gradient(aa)),
+            argnums=(0,))(v, l, a)).astype(jnp.bfloat16),
+    }
+    for name, fn in cases.items():
+        t = timed_diff(chain(fn, 1), chain(fn, 4), (value, loc, attn), 3.0)
         print(f"{name}: {t*1e3:.2f} ms/layer-equiv -> x{nlayers} = "
               f"{t*1e3*nlayers:.1f} ms", flush=True)
 

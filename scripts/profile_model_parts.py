@@ -159,7 +159,10 @@ def main():
                 lambda t: t + c.astype(t.dtype) * 0 if t is not None else None,
                 o))), (outputs_fixed,)),
     }
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     for name, (f, args) in cases.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         t = timed_diff(chain(f, 1), chain(f, 3), args, 2.0)
         print(f"{name}: {t*1e3:.1f} ms  (compile {time.time()-t0:.0f}s)",

@@ -112,7 +112,10 @@ def main():
             p, i + c * 1e-12,
             jax.random.fold_in(jax.random.PRNGKey(7), 0))),
     }
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     for name, f in cases.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         t = timed_diff(chain(f, 1), chain(f, 3), (params, images), 2.0)
         print(f"{name}: {t*1e3:.1f} ms  (compile {time.time()-t0:.0f}s)",

@@ -298,3 +298,80 @@ def test_msdeform_order_variants_grad_matches_xla(impl):
     g_new = loss(impl)
     for a, b in zip(g_ref, g_new):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_msdeform_flat_matches_torch_oracle():
+    """'flat' (round-4 flat-layout core with manual VJP) vs the grid_sample
+    oracle, including out-of-bounds locations."""
+    rs = np.random.RandomState(21)
+    shapes = [(8, 12), (4, 6), (2, 3)]
+    S = sum(h * w for h, w in shapes)
+    B, Lq, M, D, L, P = 2, 7, 4, 16, 3, 4
+    value = rs.randn(B, S, M, D).astype(np.float32)
+    loc = rs.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+    w = rs.rand(B, Lq, M, L, P).astype(np.float32)
+    w /= w.reshape(B, Lq, M, -1).sum(-1)[..., None, None]
+
+    ref = _torch_msdeform(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc),
+        torch.from_numpy(w),
+    ).numpy()
+    ours = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(loc),
+                            jnp.asarray(w), impl="flat")
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_msdeform_flat_grad_matches_xla():
+    """The hand-written _flat_level VJP vs XLA autodiff of the oracle path,
+    for value, locations and attention weights, at B=1 and B=2."""
+    import jax
+
+    rs = np.random.RandomState(22)
+    shapes = [(4, 4), (2, 2)]
+    S = sum(h * w for h, w in shapes)
+    for B in (1, 2):
+        Lq, M, D, L, P = 5, 2, 8, 2, 2
+        value = rs.randn(B, S, M, D).astype(np.float32)
+        loc = rs.uniform(0.05, 0.95, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+        w = rs.rand(B, Lq, M, L, P).astype(np.float32)
+
+        def loss(impl):
+            def f(v, l, a):
+                return ms_deform_attn_core(v, shapes, l, a, impl=impl).sum()
+            return jax.grad(f, argnums=(0, 1, 2))(
+                jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w)
+            )
+
+        g_ref = loss("xla")
+        g_flat = loss("flat")
+        for a, b in zip(g_ref, g_flat):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
+def test_msdeform_flat_grad_boundary_locations():
+    """Out-of-bounds / boundary sampling locations: the clip/validity VJP of
+    the flat path matches the oracle autodiff (zero-padding semantics)."""
+    import jax
+
+    rs = np.random.RandomState(23)
+    shapes = [(4, 4)]
+    S = 16
+    B, Lq, M, D, L, P = 2, 6, 2, 8, 1, 3
+    value = rs.randn(B, S, M, D).astype(np.float32)
+    loc = rs.uniform(-0.3, 1.3, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+    w = rs.rand(B, Lq, M, L, P).astype(np.float32)
+
+    def loss(impl):
+        def f(v, l, a):
+            return (ms_deform_attn_core(v, shapes, l, a, impl=impl) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w)
+        )
+
+    g_ref = loss("xla")
+    g_flat = loss("flat")
+    for a, b in zip(g_ref, g_flat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
