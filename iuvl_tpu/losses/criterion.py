@@ -27,6 +27,7 @@ from ..ops.point_sample import (
     build_wide_table,
     point_sample,
     point_sample_from_table,
+    point_sample_trainable,
     uncertain_point_coords,
 )
 from .matcher import batched_hungarian, compute_match_cost, hungarian_match
@@ -108,7 +109,10 @@ class SegCriterion:
             rng, jax.lax.stop_gradient(src_flat), c.num_points,
             c.oversample_ratio, c.importance_sample_ratio,
         )
-        point_logits = point_sample(src_flat, coords)  # (B*T, P)
+        # trainable variant: d_masks via the Pallas tap scatter — the plain
+        # VJP's XLA scatter was the criterion backward's largest item
+        # (20.4 ms/layer at B=2, scripts/bench_crit_scatter.py)
+        point_logits = point_sample_trainable(src_flat, coords)  # (B*T, P)
         if tgt_table is not None:
             point_labels = point_sample_from_table(
                 tgt_table, jax.lax.stop_gradient(coords)

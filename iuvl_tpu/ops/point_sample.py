@@ -154,6 +154,83 @@ def point_sample(masks: jax.Array, coords: jax.Array) -> jax.Array:
     return out
 
 
+def _tap_weights(h: int, w: int, x, y, dtype):
+    """Per-tap bilinear weights with zero-padding validity and the wide-table
+    base row — the exact math of point_sample's gather side."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    pad = w + 1
+    span = h * w + w + 1
+    base = jnp.clip(
+        y0.astype(jnp.int32) * w + x0.astype(jnp.int32) + pad, 0, span - 1
+    )
+    wgts = []
+    for dy, dx, wgt in (
+        (0, 0, (1 - fy) * (1 - fx)),
+        (0, 1, (1 - fy) * fx),
+        (1, 0, fy * (1 - fx)),
+        (1, 1, fy * fx),
+    ):
+        xi = x0 + dx
+        yi = y0 + dy
+        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        wgts.append(wgt * valid.astype(dtype))
+    return base, jnp.stack(wgts, axis=-1), pad, span
+
+
+@jax.custom_vjp
+def point_sample_trainable(masks: jax.Array, coords: jax.Array) -> jax.Array:
+    """:func:`point_sample` with a Pallas-backed backward for d_masks.
+
+    Identical forward. The VJP scatter of the plain implementation lowers
+    to a ~25M rows/s XLA scatter (the composed criterion's largest backward
+    item — 204 ms over 10 layers at B=2); the custom backward runs the
+    VMEM-accumulator tap scatter (ops/pallas/tap_scatter, 2.6x faster) and
+    folds the tap planes with shifted slices. coords get a zero cotangent —
+    every caller samples at stop-gradient/random coords (the reference
+    detaches them too, point_features.py:65-107)."""
+    return point_sample(masks, coords)
+
+
+def _pst_fwd(masks, coords):
+    return point_sample(masks, coords), (masks, coords)
+
+
+def _pst_bwd(res, g):
+    masks, coords = res
+    n, h, w = masks.shape
+    x = coords[..., 0] * w - 0.5
+    y = coords[..., 1] * h - 0.5
+    base, wgts, pad, span = _tap_weights(h, w, x, y, masks.dtype)
+    rows = g[..., None].astype(jnp.float32) * wgts  # (N, P, 4)
+    if jax.default_backend() == "tpu":
+        from .pallas.tap_scatter import tap_scatter
+
+        acc = tap_scatter(base, rows, span)  # (N, span, 4)
+    else:
+        flat_idx = (base + jnp.arange(n, dtype=jnp.int32)[:, None] * span
+                    ).reshape(-1)
+        acc = (
+            jnp.zeros((n * span, 4), jnp.float32)
+            .at[flat_idx].add(rows.reshape(-1, 4))
+            .reshape(n, span, 4)
+        )
+    # Tap k at wide row i contributes to flat cell i + off_k - pad, so
+    # d_flat[c] = sum_k acc[c + pad - off_k, k] — four static slices
+    # (pad - off_k in [0, pad], and the slice windows stay inside span).
+    d_flat = None
+    for k, off in enumerate((0, 1, w, w + 1)):
+        s = pad - off
+        piece = acc[:, s : s + h * w, k]
+        d_flat = piece if d_flat is None else d_flat + piece
+    return d_flat.reshape(n, h, w).astype(masks.dtype), jnp.zeros_like(coords)
+
+
+point_sample_trainable.defvjp(_pst_fwd, _pst_bwd)
+
+
 def point_sample_shared(masks: jax.Array, coords: jax.Array) -> jax.Array:
     """Bilinear sample of (B, C, H, W) maps at (B, P, 2) xy coords in [0, 1]
     SHARED across the C channel maps. Returns (B, C, P).

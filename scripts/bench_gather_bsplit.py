@@ -92,8 +92,39 @@ def main():
             for p in (p2[: n2 // 2], p2[n2 // 2:])),
     }
 
+    # does building the operand from concat+rolls (the v4 wide map) change
+    # the gather's speed vs a raw buffer? (composed gathers run 84M rows/s
+    # vs 251M in take_split — same rows, same map size)
+    v1q = v1[:, :64]
+
+    def build_v4(v):
+        return jnp.concatenate(
+            [v, jnp.roll(v, -1, 0), jnp.roll(v, -W, 0),
+             jnp.roll(v, -(W + 1), 0)], axis=1)
+
+    cases_extra = {
+        "take_rolled": lambda c, i1, i2, v1_, v2_, p2: jnp.take(
+            build_v4(v1q + c.astype(jnp.bfloat16)), i1, axis=0, mode="clip"
+        ).astype(jnp.float32).sum(),
+        "take_rolled_barrier": lambda c, i1, i2, v1_, v2_, p2: jnp.take(
+            jax.lax.optimization_barrier(
+                build_v4(v1q + c.astype(jnp.bfloat16))),
+            i1, axis=0, mode="clip").astype(jnp.float32).sum(),
+        "take_raw1": lambda c, i1, i2, v1_, v2_, p2: jnp.take(
+            v1_ + c.astype(jnp.bfloat16), i1, axis=0, mode="clip"
+        ).astype(jnp.float32).sum(),
+    }
+
     only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
     args = (idx1, idx2, v1, v2, pay2)
+    for name, f in cases_extra.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        t = timed_diff(chain(f, 1), chain(f, 4), args, 3.0)
+        rate = idx1.shape[0] / t / 1e6
+        print(f"{name}: {t*1e3:.2f} ms  ({rate:.0f}M rows/s)  "
+              f"(compile {time.time()-t0:.0f}s)", flush=True)
     for name, f in cases.items():
         if only and name not in only:
             continue
