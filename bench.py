@@ -338,6 +338,58 @@ def bench_extra():
     except Exception as e:
         print(f"llm7b extra failed: {e}", file=sys.stderr)
 
+    # ---- Captioning decode (VERDICT r3 item 7: regression-track the
+    # KV-cached path in BENCH_EXTRA, not just commit messages): 20-step
+    # greedy caption at 1024^2 — full 9-layer re-run vs the decoder+text-
+    # tower KV-cached path, with greedy-id equality asserted. Runs after
+    # the 7B block has freed the train-bench buffers. ---- #
+    try:
+        import os as _os
+        import sys as _sys
+
+        _scripts = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "scripts")
+        if _scripts not in _sys.path:
+            _sys.path.insert(0, _scripts)
+        from bench_captioning import run_captioning_bench
+
+        cap = run_captioning_bench()
+        results.append({
+            "metric": "captioning_20step_ms_full_rerun",
+            "value": cap["full_rerun"], "unit": "ms",
+            "vs_baseline": None,  # reference re-runs the decoder per token
+        })
+        results.append({
+            "metric": "captioning_20step_ms_kv_cached",
+            "value": cap["kv_cached"], "unit": "ms",
+            "vs_baseline": cap["speedup"],  # vs our own full re-run
+        })
+        if not cap["ids_match"]:
+            print("captioning ids mismatch!", file=sys.stderr)
+    except Exception as e:
+        print(f"captioning extra failed: {e}", file=sys.stderr)
+
+    # ---- Step2 instruction-tuning throughput (VERDICT r3 item 5): the
+    # stage-2 recipe on chip — ViT-B 1024^2 vision + frozen 7B-shape LLM,
+    # projector-only adamw, 1 img/chip like the reference's instruction
+    # stream (configs/step2_instruction.yaml BATCH_SIZE_PER_GPU 1). Runs
+    # LAST: the 7B params + vision activations need most of HBM. ---- #
+    try:
+        import gc
+
+        gc.collect()
+        from bench_step2 import run_step2_bench
+
+        s2 = run_step2_bench()
+        results.append({
+            "metric": "step2_train_images_per_sec_per_chip",
+            "value": s2["step2_train_images_per_sec_per_chip"],
+            "unit": "img/s",
+            "vs_baseline": None,  # no reference number published
+        })
+    except Exception as e:
+        print(f"step2 extra failed: {e}", file=sys.stderr)
+
     for r in results:
         print(json.dumps(r), file=sys.stderr)
     with open("BENCH_EXTRA.json", "w") as f:

@@ -519,22 +519,39 @@ def _flat_level_bwd(hl, wl, res, gout):
     wa = wslot * aw32[..., None]
     base = jax.lax.broadcasted_iota(jnp.int32, (nh, lq, p), 0) * hw
     v4 = _wide_map(v_l, wl)
+    use_glue_kernel = (
+        jax.default_backend() == "tpu" and (nh * lq) % 8 == 0
+    )
     dwa_imgs, dv4_imgs = [], []
     for i in range(b):
         idx_i = (base + idx[i]).reshape(r)
         g4 = _flat_gather_rows(v4[i].reshape(nh * hw, 4 * d), idx_i)
-        # cotangent rows: gout (nh*Lq, d) -> tiled lanes -> P-repeated rows
-        gt = jnp.dot(gout[i].reshape(nh * lq, d).astype(f32), m_tile,
-                     preferred_element_type=f32)            # (nh*Lq, 4d)
-        gt_rows = jnp.repeat(gt, p, axis=0)                 # (R, 4d) f32
-        # d_wa (per slot): rowwise dots via lane-group-sum matmul
-        dots = jnp.dot(g4.astype(f32) * gt_rows, m_slot,
-                       preferred_element_type=f32)          # (R, 4)
+        if use_glue_kernel:
+            # One fused pass builds the scatter rows + per-slot dots with
+            # the tiled cotangent living only in VMEM (the XLA formulation
+            # below materializes it at f32 — ~700 MB per level-image);
+            # contrib comes back in the value dtype and the f32 convert
+            # fuses into the scatter.
+            from .pallas.deform_bwd_glue import deform_bwd_glue
+
+            contrib, dots = deform_bwd_glue(
+                g4, gout[i].reshape(nh * lq, d), wa[i].reshape(r, 4),
+                x.shape[3],
+            )
+            contrib = contrib.astype(f32)
+        else:
+            # cotangent rows: gout (nh*Lq, d) -> tiled lanes -> P-repeats
+            gt = jnp.dot(gout[i].reshape(nh * lq, d).astype(f32), m_tile,
+                         preferred_element_type=f32)        # (nh*Lq, 4d)
+            gt_rows = jnp.repeat(gt, p, axis=0)             # (R, 4d) f32
+            # d_wa (per slot): rowwise dots via lane-group-sum matmul
+            dots = jnp.dot(g4.astype(f32) * gt_rows, m_slot,
+                           preferred_element_type=f32)      # (R, 4)
+            waexp = jnp.dot(wa[i].reshape(r, 4), m_expand,
+                            preferred_element_type=f32)
+            contrib = waexp * gt_rows                       # (R, 4d) f32
         dwa_imgs.append(dots)
         # d_v4 rows, scattered in f32 (bf16 scatter-add measures 3x slower)
-        waexp = jnp.dot(wa[i].reshape(r, 4), m_expand,
-                        preferred_element_type=f32)
-        contrib = waexp * gt_rows                           # (R, 4d) f32
         dv4_imgs.append(
             jnp.zeros((nh * hw, 4 * d), f32).at[idx_i].add(contrib)
         )

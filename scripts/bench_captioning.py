@@ -22,7 +22,7 @@ from iuvl_tpu.models.xdecoder.model import SysLearner, SysLearnerConfig  # noqa:
 STEPS = 20
 
 
-def main():
+def run_captioning_bench():
     cfg = SysLearnerConfig(
         sam_size="base", img_size=1024, dtype="bfloat16", attn_impl="auto",
         msdeform_impl="auto",
@@ -56,7 +56,11 @@ def main():
 
     out["speedup"] = round(out["full_rerun"] / out["kv_cached"], 3)
     out["ids_match"] = out["full_rerun_ids"] == out["kv_cached_ids"]
-    print(json.dumps(out))
+    return out
+
+
+def main():
+    print(json.dumps(run_captioning_bench()))
 
 
 if __name__ == "__main__":

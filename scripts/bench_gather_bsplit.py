@@ -115,6 +115,31 @@ def main():
         ).astype(jnp.float32).sum(),
     }
 
+    # RASTER-ordered reference points (the composed model's real pattern:
+    # consecutive queries step ~1 map pixel) in head-major vs head-minor
+    # row order — head-major makes consecutive rows near-sequential
+    # addresses (the q-minor serialization of ROADMAP r2); head-minor puts
+    # 8 distant head-streams in flight.
+    rs2 = np.random.RandomState(7)
+    qy2 = np.resize(np.repeat(np.arange(H), W), LQ)
+    qx2 = np.resize(np.tile(np.arange(W), H), LQ)
+    offs2 = rs2.randn(LQ, NH, P, 2) * (np.arange(P)[None, None, :, None] + 1)
+    y2 = np.clip(qy2[:, None, None] + offs2[..., 1], 0, H - 1).astype(np.int64)
+    x2 = np.clip(qx2[:, None, None] + offs2[..., 0], 0, W - 1).astype(np.int64)
+    cell2 = (y2 * W + x2).astype(np.int64)          # (LQ, NH, P)
+    base_h2 = np.arange(NH)[None, :, None] * HW
+    idx_hmaj = jnp.asarray(
+        (cell2 + base_h2).transpose(1, 0, 2).reshape(-1), jnp.int32)
+    idx_hmin = jnp.asarray((cell2 + base_h2).reshape(-1), jnp.int32)
+    cases_extra["take_raster_hmajor"] = (
+        lambda c, i1, i2, v1_, v2_, p2: jnp.take(
+            v1_ + c.astype(jnp.bfloat16), idx_hmaj, axis=0, mode="clip"
+        ).astype(jnp.float32).sum())
+    cases_extra["take_raster_hminor"] = (
+        lambda c, i1, i2, v1_, v2_, p2: jnp.take(
+            v1_ + c.astype(jnp.bfloat16), idx_hmin, axis=0, mode="clip"
+        ).astype(jnp.float32).sum())
+
     only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
     args = (idx1, idx2, v1, v2, pay2)
     for name, f in cases_extra.items():

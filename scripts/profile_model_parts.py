@@ -14,6 +14,7 @@ Usage: PYTHONPATH=/root/.axon_site:/root/repo \
 """
 from __future__ import annotations
 
+import dataclasses
 import sys
 import time
 
@@ -150,6 +151,13 @@ def main():
         "dec_grad": (lambda c, p: _gsum(jax.grad(dec_sum)(
             p, [t + c.astype(t.dtype) * 0 for t in ms_fixed], mf_fixed)),
             (params,)),
+        "pix_grad_noremat": (lambda c, p, f: _gsum(jax.grad(
+            lambda pp, ff: _gsum(SysLearner(cfg=dataclasses.replace(
+                cfg, remat=False)).apply(
+                    pp, ff, method=lambda m, x: m.pixel_decoder(x))))(
+            p, jax.tree_util.tree_map(
+                lambda t: t + c.astype(t.dtype) * 0, f))),
+            (params, fpn_fixed)),
         "crit_fwd": (lambda c, o: crit_sum(
             jax.tree_util.tree_map(
                 lambda t: t + c.astype(t.dtype) * 0 if t is not None else None,

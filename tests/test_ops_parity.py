@@ -375,3 +375,42 @@ def test_msdeform_flat_grad_boundary_locations():
     g_flat = loss("flat")
     for a, b in zip(g_ref, g_flat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_deform_bwd_glue_kernel_matches_xla():
+    """Interpret-mode parity of the fused backward glue kernel (contrib +
+    per-slot dots) vs the XLA formulation in _flat_level_bwd."""
+    import jax
+    import jax.experimental.pallas as pl
+
+    from iuvl_tpu.ops.pallas import deform_bwd_glue as dg
+
+    rs = np.random.RandomState(31)
+    q, p, d = 16, 4, 8
+    r = q * p
+    g4 = jnp.asarray(rs.randn(r, 4 * d).astype(np.float32))
+    gout = jnp.asarray(rs.randn(q, d).astype(np.float32))
+    wa = jnp.asarray(rs.rand(r, 4).astype(np.float32))
+
+    gt = np.tile(np.asarray(gout), (1, 4))          # (q, 4d)
+    gt_rows = np.repeat(gt, p, axis=0)              # (r, 4d)
+    dots_ref = np.stack(
+        [(np.asarray(g4)[:, k * d:(k + 1) * d]
+          * gt_rows[:, k * d:(k + 1) * d]).sum(1) for k in range(4)], -1)
+    contrib_ref = np.concatenate(
+        [np.asarray(wa)[:, k:k + 1] * gt_rows[:, k * d:(k + 1) * d]
+         for k in range(4)], -1)
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    dg.pl.pallas_call = interp
+    try:
+        contrib, dots = dg.deform_bwd_glue(g4, gout, wa, p)
+    finally:
+        dg.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(dots), dots_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(contrib), contrib_ref, atol=1e-5)
