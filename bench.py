@@ -315,6 +315,14 @@ def bench_extra():
         except NameError:
             pass
         gc.collect()
+        # Loaded TPU executables occupy HBM program space beyond their
+        # array buffers: after the round-4 train program grew (per-image
+        # unrolled gathers + the Pallas backward kernels), the retained
+        # jit caches alone made the 13.5 GB 7B params OOM. Measured: with
+        # clear_caches the same sequence fits (live arrays were already
+        # down to 0.01 GB — it's the executables, not data).
+        jax.clear_caches()
+        gc.collect()
         _sys.path.insert(0, _os.path.join(_os.path.dirname(
             _os.path.abspath(__file__)), "scripts"))
         from bench_llm_7b import bench_variant
@@ -351,6 +359,10 @@ def bench_extra():
             _os.path.dirname(_os.path.abspath(__file__)), "scripts")
         if _scripts not in _sys.path:
             _sys.path.insert(0, _scripts)
+        import gc as _gc
+
+        jax.clear_caches()  # free the 7B variants' loaded executables
+        _gc.collect()
         from bench_captioning import run_captioning_bench
 
         cap = run_captioning_bench()
@@ -364,6 +376,15 @@ def bench_extra():
             "value": cap["kv_cached"], "unit": "ms",
             "vs_baseline": cap["speedup"],  # vs our own full re-run
         })
+        for tag in ("full_rerun", "kv_cached"):
+            key = f"{tag}_ms_per_step"
+            if key in cap:
+                results.append({
+                    "metric": f"captioning_decode_ms_per_token_{tag}",
+                    "value": cap[key], "unit": "ms",
+                    "vs_baseline": None,  # e2e is encode-dominated; this
+                    # row isolates what the KV caches attack
+                })
         if not cap["ids_match"]:
             print("captioning ids mismatch!", file=sys.stderr)
     except Exception as e:
@@ -377,6 +398,7 @@ def bench_extra():
     try:
         import gc
 
+        jax.clear_caches()  # free prior extras' loaded executables
         gc.collect()
         from bench_step2 import run_step2_bench
 

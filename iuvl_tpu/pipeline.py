@@ -468,10 +468,19 @@ class XDecoderPipeline:
 
         ds = build_dataset(name, self.cfg.get(name.upper(), {}), "val")
         evaluator = CaptioningEvaluator()
+        # KV-cached decode (decoder + CLIP text tower): greedy ids are
+        # exactly the full re-run's (tests/test_captioning_cache.py), at a
+        # fraction of the per-token cost. CAPTIONING_FULL_RERUN restores
+        # the reference-shaped loop for A/B.
+        method = (
+            SysLearner.evaluate_captioning
+            if self.cfg.get("CAPTIONING_FULL_RERUN") else
+            SysLearner.evaluate_captioning_cached
+        )
         cap_fn = jax.jit(
             lambda p, img: self.model.apply(
                 p, img, steps=self.cfg.get("CAPTIONING_STEPS", 20),
-                method=SysLearner.evaluate_captioning,
+                method=method,
             ),
             static_argnums=(),
         )

@@ -56,6 +56,29 @@ def run_captioning_bench():
 
     out["speedup"] = round(out["full_rerun"] / out["kv_cached"], 3)
     out["ids_match"] = out["full_rerun_ids"] == out["kv_cached_ids"]
+
+    # Per-STEP decode cost via step-count differencing: the e2e number is
+    # dominated by the one-time image encode + pixel decoder (~150 ms at
+    # B=1 1024^2), which caps e2e speedup near 1.18x no matter how cheap
+    # the decode gets — (20-step - 5-step) / 15 isolates the per-token
+    # cost the KV caches actually attack.
+    for name, method in (
+        ("full_rerun", SysLearner.evaluate_captioning),
+        ("kv_cached", SysLearner.evaluate_captioning_cached),
+    ):
+        fn5 = jax.jit(lambda p, i, m=method: model.apply(
+            p, i, steps=5, method=m))
+        ids = fn5(params, img)
+        int(ids[0, 1])
+        best5 = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            ids = fn5(params, img)
+            int(ids[0, 1])
+            best5 = min(best5, time.perf_counter() - t0)
+        out[f"{name}_ms_per_step"] = round(
+            (out[name] - best5 * 1e3) / (STEPS - 5), 3)
+        del fn5
     return out
 
 
