@@ -158,6 +158,34 @@ def bench_extra():
 
     results = []
 
+    # ---- Interactive NoC protocol fixture (VERDICT r4 item 5): known-
+    # geometry masks through the real first-click placement, FN-sampling
+    # and evaluator math with a deterministic oracle head — regression-
+    # locks the click protocol the way the gate locks sharding. ---- #
+    try:
+        import os as _os
+        import sys as _sys
+
+        _scripts = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "scripts")
+        if _scripts not in _sys.path:
+            _sys.path.insert(0, _scripts)
+        from bench_noc import run_noc_fixture
+
+        noc = run_noc_fixture()
+        results.append({
+            "metric": "interactive_noc_at_085_synthetic_fixture",
+            "value": round(noc["NoC@0.85"], 3), "unit": "clicks",
+            "vs_baseline": None,  # protocol pin, not a speed row
+        })
+        results.append({
+            "metric": "interactive_miou_at_5_synthetic_fixture",
+            "value": round(noc["mIoU@5"], 2), "unit": "%",
+            "vs_baseline": None,
+        })
+    except Exception as e:
+        print(f"noc fixture extra failed: {e}", file=sys.stderr)
+
     # ---- X-Decoder panoptic eval throughput (evaluate_seg @ 1024^2) ---- #
     def chained_seg(params, img, iters):
         def body(carry, _):

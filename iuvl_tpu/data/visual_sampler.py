@@ -175,9 +175,9 @@ def distance_transform_conv(mask: np.ndarray, h: float = 0.35,
     image whose NON-ZERO pixels are the seeds; the output at each pixel
     approximates the Euclidean distance to the nearest seed, built ring by
     ring with a 3x3 exp(-d/h) kernel and ``-h * log(conv)`` readout; seed
-    pixels read 0. O(diameter) 3x3 convs — use for tests / small masks; the
-    production Point sampler uses the exact EDT (``_edt``) which this
-    approximates.
+    pixels read 0. O(diameter) 3x3 convs — the test oracle; the production
+    Point sampler reproduces this transform's argmax exactly without the
+    cascade (``conv_dt_argmax``).
     """
     seeds = mask.astype(bool)
     hgt, wid = seeds.shape
@@ -217,15 +217,72 @@ def _edt(mask: np.ndarray) -> np.ndarray:
 
 
 def dt_argmax_point(mask: np.ndarray) -> tuple[int, int]:
-    """(y, x) of the deepest interior pixel of ``mask`` — the reference's
-    first-click placement (simpleclick_sampler.py:65-66: argmax of the
-    distance transform of the target region). Ties break first-in-raster
-    order like torch.max. Returns (0, 0) for an empty mask."""
+    """(y, x) of the deepest interior pixel of ``mask`` under the EXACT
+    Euclidean distance transform. Ties break first-in-raster order.
+    Returns (0, 0) for an empty mask. NOTE: the production click placement
+    is :func:`conv_dt_argmax` (the reference's kornia conv-dt argmax, which
+    can pick a different pixel); this exact-EDT variant is kept for A/B."""
     if not mask.any():
         return (0, 0)
     dt = _edt(mask)
     flat = int(np.argmax(dt))
     return (flat // mask.shape[1], flat % mask.shape[1])
+
+
+# exp(-d / h) 3x3 kernel weights at kornia's defaults (h=0.35), float32 like
+# torch's conv: edge-adjacent and diagonal neighbor contributions.
+_CDT_H = 0.35
+_CDT_EDGE = np.float32(np.exp(-1.0 / _CDT_H))
+_CDT_DIAG = np.float32(np.exp(-np.sqrt(2.0) / _CDT_H))
+
+
+def conv_dt_argmax(mask: np.ndarray) -> tuple[int, int]:
+    """(y, x) of the argmax of kornia's cascaded-conv distance transform of
+    ``mask`` — the reference's first-click pixel (simpleclick_sampler.py:64-66
+    runs ``distance_transform((~pad(fp)).float())`` and takes
+    ``.max(dim=-1)[1]``, first-in-raster on ties) — computed exactly WITHOUT
+    running the O(interior-depth) conv cascade.
+
+    Why this is exact: growth through a 3x3 kernel advances one Chebyshev
+    ring per iteration, so a pixel at chessboard distance r from the seed
+    set reads ``(r - 1) + (-h * log(conv))`` where ``conv`` sums the kernel
+    weights of its already-reached 3x3 neighbors. With h = 0.35 the readout
+    band of ring r is ((r-1) + 0.4214, (r-1) + 1.4142], and ring r's lower
+    edge sits 0.0071 ABOVE ring r-1's upper edge — bands are disjoint, so
+    the global argmax always lies in the deepest ring and, within it, at
+    the pixel minimizing ``conv`` (fewest / most-diagonal reached
+    neighbors), ties first-in-raster like ``torch.max``.
+
+    Matches the reference's border handling (fp is zero-padded by one, so
+    the image border counts as seed). Returns (0, 0) for an empty mask.
+    Equivalence to the cascade is pinned against the
+    :func:`distance_transform_conv` oracle in tests/test_simpleclick.py.
+    """
+    from scipy import ndimage
+
+    fg = np.asarray(mask, bool)
+    if not fg.any():
+        return (0, 0)
+    padded = np.pad(fg, 1)
+    # Chessboard distance of fg pixels to the seed set (~fg, incl. border).
+    cheb = ndimage.distance_transform_cdt(padded, metric="chessboard")
+    rmax = int(cheb.max())
+    ring = cheb == rmax
+    reached = (cheb <= rmax - 1).astype(np.float32)
+    hgt, wid = padded.shape
+    conv = np.zeros((hgt, wid), np.float32)
+    # Fixed neighbor order (kernel raster order, like torch's conv2d sum).
+    pad2 = np.pad(reached, 1, mode="edge")
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            w = _CDT_EDGE if (dy == 1 or dx == 1) else _CDT_DIAG
+            conv += w * pad2[dy:dy + hgt, dx:dx + wid]
+    # Deepest ring, min conv, first-in-raster: argmin over masked conv.
+    conv = np.where(ring, conv, np.float32(np.inf))[1:-1, 1:-1]
+    flat = int(np.argmin(conv))
+    return (flat // fg.shape[1], flat % fg.shape[1])
 
 
 class SimpleClickSampler:
@@ -263,7 +320,7 @@ class SimpleClickSampler:
         return gt & ~(gt & pred) & ~prev
 
     def _point_mask(self, fp: np.ndarray) -> tuple[np.ndarray, tuple[int, int]]:
-        y, x = dt_argmax_point(fp)
+        y, x = conv_dt_argmax(fp)
         out = np.zeros_like(fp, dtype=bool)
         out[y, x] = True
         # Reference: conv2d with an all-ones (dilation x dilation) kernel,

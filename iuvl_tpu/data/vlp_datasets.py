@@ -253,15 +253,22 @@ def _build_synth_ref(cfg, split):
 class SyntheticInteractiveDataset:
     """Interactive-eval smoke stream: instances + point prompts."""
 
-    def __init__(self, image_size=64, length=8, max_instances=2, seed=0):
-        from .visual_sampler import ShapeSampler
+    def __init__(self, image_size=64, length=8, max_instances=2, seed=0,
+                 prompt_mode="Point"):
+        from .visual_sampler import ShapeSampler, SimpleClickSampler
 
         self.image_size = image_size
         self.length = length
         self.max_instances = max_instances
-        self.sampler = ShapeSampler(
-            max_candidate=max_instances, modes=("Point",), seed=seed
-        )
+        self.prompt_mode = prompt_mode
+        if prompt_mode == "Point":
+            self.sampler = ShapeSampler(
+                max_candidate=max_instances, modes=("Point",), seed=seed
+            )
+        else:
+            # Box/Circle/Scribble/Polygon single-shot modes go through the
+            # protocol sampler (pipeline dispatches on ds.prompt_mode).
+            self.sampler = SimpleClickSampler(mask_mode=prompt_mode, seed=seed)
         self.seed = seed
 
     def __len__(self):
@@ -287,7 +294,8 @@ class SyntheticInteractiveDataset:
 @register_dataset("synthetic_interactive")
 def _build_synth_interactive(cfg, split):
     return SyntheticInteractiveDataset(
-        image_size=cfg.get("IMAGE_SIZE", 64), length=cfg.get("LENGTH", 8)
+        image_size=cfg.get("IMAGE_SIZE", 64), length=cfg.get("LENGTH", 8),
+        prompt_mode=cfg.get("PROMPT_MODE", "Point"),
     )
 
 

@@ -58,6 +58,7 @@ class SysLearnerConfig:
     dtype: str = "float32"
     attn_impl: str = "xla"  # SAM windowed attention implementation
     remat: bool = False
+    remat_group: int = 2  # pixel-decoder layers per remat region (round 5)
     msdeform_impl: str = "auto"
     pixel_decoder: str = "msdeform"  # or "fpn" (reference
     # transformer_encoder_fpn registration, unused by shipped configs)
@@ -122,6 +123,7 @@ class SysLearner(nn.Module):
                 dtype=dtype,
                 impl=c.msdeform_impl,
                 remat=c.remat,
+                remat_group=c.remat_group,
             )
         self.predictor = UnifiedDecoder(
             hidden_dim=c.syslearner_dim,

@@ -204,6 +204,12 @@ class DeformablePixelDecoder(nn.Module):
     impl: str = "xla"
     remat: bool = False  # rematerialize encoder layers in backward: each
     # layer otherwise stores ~1 GB of deformable-gather rows at 1024^2 B=2
+    remat_group: int = 2  # encoder layers per remat region: the
+    # jax.checkpoint boundary itself costs ~50 ms/region at 1024^2 B=2
+    # (ROADMAP r4), so grouping layers halves that tax. Implemented as the
+    # FUNCTION form of nn.remat over a slice of the layer loop — the layers
+    # stay direct children of this module, so parameter names are identical
+    # for any group size (no key remapping, checkpoint-compatible).
 
     def _conv1x1(self, name: str, features: int, use_bias: bool = True):
         """1x1 conv as a channel matmul in bf16 (XLA's conv lowering can pick
@@ -247,27 +253,36 @@ class DeformablePixelDecoder(nn.Module):
         ref_pts = encoder_reference_points(shapes)[None]  # (1, S, L, 2)
         ref_pts = jnp.broadcast_to(ref_pts, (b, *ref_pts.shape[1:]))
 
-        # static_argnums index 4 = spatial_shapes in (module, src, pos,
-        # reference_points, spatial_shapes); must be hashable under remat
-        layer_cls = (
-            nn.remat(
-                DeformableEncoderLayer,
-                static_argnums=(4,),
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "deform_core", "deform_value", "deform_loc",
-                    "deform_attn",
-                ),
-            )
-            if self.remat else DeformableEncoderLayer
-        )
         shapes_t = tuple(shapes)
+
+        def _layer(mdl, y, pos, ref, i: int):
+            return DeformableEncoderLayer(
+                d_model=mdl.conv_dim, n_heads=mdl.n_heads,
+                n_points=mdl.n_points, n_levels=len(names), dtype=mdl.dtype,
+                impl=mdl.impl, name=f"layer{i}",
+            )(y, pos, ref, shapes_t)
+
         y = src_flat
-        for i in range(self.num_layers):
-            y = layer_cls(
-                d_model=self.conv_dim, n_heads=self.n_heads, n_points=self.n_points,
-                n_levels=len(names), dtype=self.dtype, impl=self.impl,
-                name=f"layer{i}",
-            )(y, pos_flat, ref_pts, shapes_t)
+        if self.remat:
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "deform_core", "deform_value", "deform_loc", "deform_attn",
+            )
+            group = max(1, self.remat_group)
+            i = 0
+            while i < self.num_layers:
+                idxs = tuple(range(i, min(i + group, self.num_layers)))
+
+                def _span(mdl, y, pos, ref, _idxs=idxs):
+                    for j in _idxs:
+                        y = _layer(mdl, y, pos, ref, j)
+                    return y
+
+                y = nn.remat(_span, policy=policy, prevent_cse=False)(
+                    self, y, pos_flat, ref_pts)
+                i += group
+        else:
+            for i in range(self.num_layers):
+                y = _layer(self, y, pos_flat, ref_pts, i)
 
         # Split back to maps (coarse -> fine): res5', res4', res3'.
         outs = []

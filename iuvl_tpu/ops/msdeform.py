@@ -538,7 +538,6 @@ def _flat_level_bwd(hl, wl, res, gout):
                 g4, gout[i].reshape(nh * lq, d), wa[i].reshape(r, 4),
                 x.shape[3],
             )
-            contrib = contrib.astype(f32)
         else:
             # cotangent rows: gout (nh*Lq, d) -> tiled lanes -> P-repeats
             gt = jnp.dot(gout[i].reshape(nh * lq, d).astype(f32), m_tile,
@@ -551,10 +550,27 @@ def _flat_level_bwd(hl, wl, res, gout):
                             preferred_element_type=f32)
             contrib = waexp * gt_rows                       # (R, 4d) f32
         dwa_imgs.append(dots)
-        # d_v4 rows, scattered in f32 (bf16 scatter-add measures 3x slower)
-        dv4_imgs.append(
-            jnp.zeros((nh * hw, 4 * d), f32).at[idx_i].add(contrib)
-        )
+        # d_v4 rows, scattered in f32 (bf16 scatter-add measures 3x slower).
+        # For the larger maps, sort the rows by destination and pass
+        # indices_are_sorted: XLA's internal scatter expansion also sorts,
+        # but its sorted-apply runs at 45M rows/s where the hinted form
+        # runs 106M (v5e, real compass indices, scripts/bench_dv_scatter.py:
+        # res3 15.4 -> 7.3 ms, res4 14.9 -> 7.8 ms end-to-end incl. the
+        # argsort+permute; res5's 84-dup/cell regime measures the other way
+        # , 7.3 -> 8.7 ms, and keeps the plain form). The permute runs in
+        # the glue kernel's output dtype (bf16 in training) — halves its
+        # traffic; the f32 convert fuses into the scatter.
+        if nh * hw >= 32768:
+            order = jnp.argsort(idx_i)
+            dv4_imgs.append(
+                jnp.zeros((nh * hw, 4 * d), f32).at[idx_i[order]].add(
+                    contrib[order].astype(f32), indices_are_sorted=True)
+            )
+        else:
+            dv4_imgs.append(
+                jnp.zeros((nh * hw, 4 * d), f32).at[idx_i].add(
+                    contrib.astype(f32))
+            )
 
     dwa = jnp.stack(dwa_imgs).reshape(b, nh, lq, p, 4)
     d_aw = (dwa * wslot).sum(-1).astype(aw_l.dtype)

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _glue_kernel(g4_ref, go_ref, wa_ref, contrib_ref, dots_ref, *, p: int,
                  d: int):
     f32 = jnp.float32
-    go = go_ref[...]                         # (Qc, d) ct
+    go = go_ref[...]                         # (Qc, d) ct, f32
     # lane-tile to the 4 slots, then row-repeat to the P points
     gt_q = jnp.concatenate([go, go, go, go], axis=1)        # (Qc, 4d)
     qc = go.shape[0]
@@ -83,5 +83,5 @@ def deform_bwd_glue(g4: jax.Array, gout: jax.Array, wa: jax.Array,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(g4, gout.astype(g4.dtype), wa)
+    )(g4, gout.astype(jnp.float32), wa)
     return contrib, dots

@@ -423,8 +423,13 @@ class XDecoderPipeline:
                         item["spatial_query"]["rand_shape"]),
                     boxes=boxes, seed=i,
                 )
+                # Single-shot modes have no click trajectory; broadcast the
+                # one IoU to the (max_clicks,) shape the evaluator expects
+                # (NoC reads "reached at click 1", mIoU@k is constant).
                 for k in range(len(gtn)):
-                    evaluator.process(np.asarray(ious)[k : k + 1])
+                    evaluator.process(
+                        np.full(max_clicks, np.asarray(ious)[k], np.float64)
+                    )
                 continue
             # First click per instance, in model input space (matching the
             # gt masks — see eval_datasets). SimpleClickSampler provides the
@@ -608,9 +613,11 @@ class XDecoderPipeline:
                 jnp.asarray(item["image"])[None], [item["question"]],
                 max_new_tokens=self.cfg.get("VQA_MAX_NEW_TOKENS", 8),
                 max_len=self.cfg.get("LLM_MAX_LEN", 64),
-                # Reference generates with num_beams=5 (xdecoder_model.py:
-                # 611-617); beam decode shares the greedy KV cache.
-                num_beams=self.cfg.get("VQA_NUM_BEAMS", 1),
+                # Protocol default: the reference generates with
+                # num_beams=5 (xdecoder_model.py:611-617); beam decode
+                # shares the greedy KV cache. Override VQA_NUM_BEAMS: 1
+                # for cheap smoke evals.
+                num_beams=self.cfg.get("VQA_NUM_BEAMS", 5),
             )
             evaluator.process(answers[0], list(item["answers"]))
         return {f"{name}/{k}": v for k, v in evaluator.evaluate().items()}

@@ -185,6 +185,64 @@ def test_beam_generate_matches_greedy_with_one_beam(llm_and_params):
         assert int(jnp.argmax(logits[0, -1])) == int(toks[t]), f"token {t}"
 
 
+def test_beam5_matches_cacheless_numpy_oracle(llm_and_params):
+    """Pin the protocol path (VQA evaluates with num_beams=5 like the
+    reference, xdecoder_model.py:611-617): beam_generate's beam-5 ids must
+    equal an independent numpy beam search driven by the CACHELESS full
+    forward — teacher-forced logits per beam prefix, top-k over k*V with
+    accumulated log prob, finished beams frozen on eos, final beam by
+    length-penalized score. Catches KV-cache reordering bugs and any
+    selection-rule drift in one assert."""
+    from iuvl_tpu.models.llm.multimodal import beam_generate
+
+    model, params = llm_and_params
+    k, steps, eos = 5, 7, 3
+    ids = np.random.RandomState(11).randint(0, 64, (1, 5))
+    emb = model.apply(params, jnp.asarray(ids), method=LlamaForCausalLM.embed)
+    mask = jnp.ones((1, 5), jnp.int32)
+    got = np.asarray(
+        beam_generate(model, params, emb, mask, max_new_tokens=steps,
+                      num_beams=k, eos_id=eos)
+    )[0]
+
+    def logp_for(prefix_ids):
+        p = jnp.asarray(np.asarray(prefix_ids)[None])
+        e = model.apply(params, p, method=LlamaForCausalLM.embed)
+        logits = model.apply(params, e, jnp.ones_like(p))
+        return np.asarray(
+            jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+        )
+
+    lp0 = logp_for(ids[0])
+    order = np.argsort(-lp0, kind="stable")[:k]
+    beams = [(ids[0].tolist() + [int(t)], float(lp0[t]), int(t) == eos)
+             for t in order]
+    traj = [[int(t)] for t in order]
+    for _ in range(steps - 1):
+        cand = np.full((k, lp0.shape[0]), -np.inf)
+        for bi, (seq, score, fin) in enumerate(beams):
+            if fin:
+                cand[bi, eos] = score  # frozen: extend with eos at no cost
+            else:
+                cand[bi] = score + logp_for(seq)
+        flat = np.argsort(-cand.reshape(-1), kind="stable")[:k]
+        new_beams, new_traj = [], []
+        for f in flat:
+            bi, tok = divmod(int(f), lp0.shape[0])
+            seq, score, fin = beams[bi]
+            new_beams.append(
+                (seq + [tok], float(cand.reshape(-1)[f]), fin or tok == eos)
+            )
+            new_traj.append(traj[bi] + [tok])
+        beams, traj = new_beams, new_traj
+    lengths = [
+        (t.index(eos) + 1) if eos in t else steps for t in traj
+    ]
+    norms = [b[1] / ln for b, ln in zip(beams, lengths)]
+    want = traj[int(np.argmax(norms))]
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
 def test_int8_quantized_llama_matches_fp(llm_and_params):
     """Weight-only int8 (the reference's bitsandbytes-8bit role): logits
     close to fp, memory roughly halved on the projection weights."""

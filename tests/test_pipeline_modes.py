@@ -48,6 +48,25 @@ def test_interactive_eval_mode(pipeline_and_params, tmp_path):
     assert (tmp_path / "synthetic_interactive_iou_curve.png").exists()
 
 
+def test_interactive_single_shot_box_mode(pipeline_and_params):
+    """Non-Point prompt modes are single-shot (reference
+    evaluate_interactive :769-850): the one IoU is broadcast to a
+    (max_clicks,) trajectory for the evaluator (ADVICE r4 medium — this
+    path used to crash on the evaluator's trajectory-length assert)."""
+    pipe, params = pipeline_and_params
+    pipe.cfg["DATASETS"] = {"TEST": ["synthetic_interactive"]}
+    pipe.cfg["SYNTHETIC_INTERACTIVE"]["PROMPT_MODE"] = "Box"
+    try:
+        metrics = pipe.evaluate_model(params, max_batches=2)
+    finally:
+        pipe.cfg["SYNTHETIC_INTERACTIVE"]["PROMPT_MODE"] = "Point"
+    assert any("NoC@" in k for k in metrics), metrics
+    # Single-shot: mIoU is constant across the click axis.
+    m1 = metrics["synthetic_interactive/mIoU@1"]
+    m3 = metrics["synthetic_interactive/mIoU@3"]
+    assert m1 == pytest.approx(m3)
+
+
 def test_captioning_eval_mode(pipeline_and_params):
     pipe, params = pipeline_and_params
     pipe.cfg["DATASETS"] = {"TEST": ["synthetic_captioning"]}
