@@ -277,8 +277,12 @@ class DeformablePixelDecoder(nn.Module):
                         y = _layer(mdl, y, pos, ref, j)
                     return y
 
-                y = nn.remat(_span, policy=policy, prevent_cse=False)(
-                    self, y, pos_flat, ref_pts)
+                # prevent_cse stays at the default True: the layer loop is
+                # UNROLLED (not a scan), so with CSE allowed XLA merges the
+                # backward replay with the original forward and silently
+                # un-remats the region (measured: B=2 pix_grad
+                # RESOURCE_EXHAUSTED with prevent_cse=False).
+                y = nn.remat(_span, policy=policy)(self, y, pos_flat, ref_pts)
                 i += group
         else:
             for i in range(self.num_layers):

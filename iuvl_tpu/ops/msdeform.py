@@ -560,7 +560,9 @@ def _flat_level_bwd(hl, wl, res, gout):
         # , 7.3 -> 8.7 ms, and keeps the plain form). The permute runs in
         # the glue kernel's output dtype (bf16 in training) — halves its
         # traffic; the f32 convert fuses into the scatter.
-        if nh * hw >= 32768:
+        import os as _os
+        if nh * hw >= 32768 and _os.environ.get(
+                "IUVL_SORTED_DV_SCATTER", "1") != "0":
             order = jnp.argsort(idx_i)
             dv4_imgs.append(
                 jnp.zeros((nh * hw, 4 * d), f32).at[idx_i[order]].add(
