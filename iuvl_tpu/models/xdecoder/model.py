@@ -58,7 +58,10 @@ class SysLearnerConfig:
     dtype: str = "float32"
     attn_impl: str = "xla"  # SAM windowed attention implementation
     remat: bool = False
-    remat_group: int = 2  # pixel-decoder layers per remat region (round 5)
+    remat_group: int = 3  # pixel-decoder layers per remat region (round-5
+    # composed A/B at B=2 1024^2, scripts/ab_pixgrad_r5.py: pix fwd+bwd
+    # 938.6 (1 layer/region) -> 898.8 ms (3) at scoped-vmem 48M; 2 measures
+    # 981.8 — grouping amortizes the ~50 ms/region checkpoint boundary)
     msdeform_impl: str = "auto"
     pixel_decoder: str = "msdeform"  # or "fpn" (reference
     # transformer_encoder_fpn registration, unused by shipped configs)

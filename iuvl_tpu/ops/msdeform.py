@@ -551,18 +551,19 @@ def _flat_level_bwd(hl, wl, res, gout):
             contrib = waexp * gt_rows                       # (R, 4d) f32
         dwa_imgs.append(dots)
         # d_v4 rows, scattered in f32 (bf16 scatter-add measures 3x slower).
-        # For the larger maps, sort the rows by destination and pass
-        # indices_are_sorted: XLA's internal scatter expansion also sorts,
-        # but its sorted-apply runs at 45M rows/s where the hinted form
-        # runs 106M (v5e, real compass indices, scripts/bench_dv_scatter.py:
-        # res3 15.4 -> 7.3 ms, res4 14.9 -> 7.8 ms end-to-end incl. the
-        # argsort+permute; res5's 84-dup/cell regime measures the other way
-        # , 7.3 -> 8.7 ms, and keeps the plain form). The permute runs in
-        # the glue kernel's output dtype (bf16 in training) — halves its
-        # traffic; the f32 convert fuses into the scatter.
+        # MEASURED NEGATIVE composed (round 5, kept opt-in via
+        # IUVL_SORTED_DV_SCATTER=1): explicitly argsort-ing the rows and
+        # passing indices_are_sorted wins ISOLATED 2x (XLA's internal
+        # sorted-apply runs 45M rows/s vs 106M hinted; res3 15.4 -> 7.3 ms
+        # end-to-end, scripts/bench_dv_scatter.py) but LOSES ~200 ms in the
+        # composed B=2 pixel-decoder backward at every remat/scoped-vmem
+        # setting (scripts/ab_pixgrad_r5.py: rg2:49152 981.8 unsorted vs
+        # 1124.1 sorted) — the extra materialized permute pass displaces
+        # the scheduler's scoped-VMEM gather-operand prefetch, which is
+        # worth more than the scatter win.
         import os as _os
         if nh * hw >= 32768 and _os.environ.get(
-                "IUVL_SORTED_DV_SCATTER", "1") != "0":
+                "IUVL_SORTED_DV_SCATTER", "0") == "1":
             order = jnp.argsort(idx_i)
             dv4_imgs.append(
                 jnp.zeros((nh * hw, 4 * d), f32).at[idx_i[order]].add(

@@ -52,10 +52,15 @@ def main():
             out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
             return out
 
-        r1 = jax.jit(lambda p, i: chain(p, i, 1))
-        rk = jax.jit(lambda p, i: chain(p, i, 9))
+        import os
+        scoped = os.environ.get("IUVL_SCOPED_VMEM_KIB")
+        copts = ({"xla_tpu_scoped_vmem_limit_kib": int(scoped)}
+                 if scoped else None)
+        r1 = jax.jit(lambda p, i: chain(p, i, 1), compiler_options=copts)
+        rk = jax.jit(lambda p, i: chain(p, i, 9), compiler_options=copts)
         ms = timed_diff(r1, rk, (params, img), 8.0) * 1e3
-        print(json.dumps({"impl": impl, "evaluate_seg_ms": round(ms, 2),
+        print(json.dumps({"impl": impl, "scoped_vmem_kib": scoped,
+                          "evaluate_seg_ms": round(ms, 2),
                           "img_per_s": round(1e3 / ms, 2)}), flush=True)
 
 
