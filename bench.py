@@ -306,7 +306,10 @@ def bench_extra():
 
         step = jax.jit(
             one, donate_argnums=(0,),
-            compiler_options={"xla_tpu_scoped_vmem_limit_kib": 24576},
+            # 48M scoped VMEM lets the scheduler prefetch the deformable
+            # backward's re-gather operands into VMEM (85M -> 313M rows/s
+            # per gather; round-5 A/B: full step 1570 -> 1510 ms vs 24M).
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": 49152},
         )
         state = TrainState.create(tparams, tx)
         del tparams
