@@ -122,7 +122,11 @@ class SegCriterion:
                 b * t, *targets.masks.shape[2:]
             ).astype(jnp.float32)
             point_labels = point_sample(
-                tgt_flat, jax.lax.stop_gradient(coords)
+                tgt_flat, jax.lax.stop_gradient(coords),
+                # gt is binary {0,1}: bf16 gather table is bit-exact and
+                # halves the 1024^2 gather bytes (12.28 -> 9.93 ms/layer
+                # isolated, scripts/bench_gt_sample_r5.py)
+                store_dtype=jnp.bfloat16,
             )
 
         valid = targets.valid.reshape(b * t).astype(jnp.float32)

@@ -107,7 +107,10 @@ def compute_match_cost(
     # points are shared across queries/targets: channels-wide row gathers
     # (point_sample_shared docstring has the measured 50x rate argument)
     pm = point_sample_shared(pred_masks.astype(jnp.float32), coords)
-    tm = point_sample_shared(tgt_masks.astype(jnp.float32), coords)
+    # gt is binary: bf16 channels-last gather table is bit-exact and halves
+    # the 1024^2 row bytes (see point_sample's store_dtype note)
+    tm = point_sample_shared(tgt_masks.astype(jnp.float32), coords,
+                             store_dtype=jnp.bfloat16)
 
     c_mask = jax.vmap(pairwise_sigmoid_ce)(pm, tm)
     c_dice = jax.vmap(pairwise_dice)(pm, tm)

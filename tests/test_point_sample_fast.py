@@ -72,6 +72,28 @@ def test_point_sample_shared_matches_per_channel():
         np.testing.assert_allclose(got[bi], want, rtol=0, atol=1e-6)
 
 
+def test_store_dtype_bf16_bitexact_on_binary_masks():
+    """The round-5 gt-side fast path: store_dtype=bf16 gather tables are
+    BIT-exact for binary masks in both samplers (the criterion's loss and
+    the matcher's cost sampling rely on this)."""
+    rs = np.random.RandomState(3)
+    masks = (rs.rand(4, 33, 29) > 0.5).astype(np.float32)
+    coords = rs.rand(4, 333, 2).astype(np.float32)
+    coords[:, :8] = 0.0
+    coords[:, 8:16] = 1.0
+    a = np.asarray(point_sample(jnp.asarray(masks), jnp.asarray(coords)))
+    b = np.asarray(point_sample(jnp.asarray(masks), jnp.asarray(coords),
+                                store_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(a, b)
+
+    shm = (rs.rand(2, 5, 17, 19) > 0.5).astype(np.float32)
+    shc = rs.rand(2, 77, 2).astype(np.float32)
+    a = np.asarray(point_sample_shared(jnp.asarray(shm), jnp.asarray(shc)))
+    b = np.asarray(point_sample_shared(jnp.asarray(shm), jnp.asarray(shc),
+                                       store_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_wide_table_bf16_exact_on_binary_masks():
     # bf16 storage is exact for {0,1} gt; f32 weight math makes the table
     # path bit-identical to point_sample on float32 binary masks.
