@@ -444,6 +444,27 @@ def _flat_gather_rows(v4_i, idx_i):
     return jnp.take(v4_i, idx_i, axis=0, mode="clip")
 
 
+def _use_perhead():
+    import os
+    return os.environ.get("IUVL_PERHEAD_DEFORM", "0") == "1"
+
+
+def _flat_gather_rows_perhead(v4_i, idx, nh, hw):
+    """Per-head unrolled gathers: v4_i (nh*hw, 4d), idx (nh, lq, p) WITHOUT
+    head bases. Each head's operand is hw*4d bytes (res3 bf16: 8.4 MB) —
+    small enough for the scheduler's scoped-VMEM prefetch, where the whole
+    (nh*hw, 4d) map (67 MB) is not (composed HBM-operand gathers run 85M
+    rows/s vs 313M from VMEM; see ROADMAP r5). Row order preserved
+    (head-major), so downstream reductions are unchanged."""
+    lq, p = idx.shape[1], idx.shape[2]
+    outs = []
+    for h in range(nh):
+        outs.append(jnp.take(
+            jax.lax.slice_in_dim(v4_i, h * hw, (h + 1) * hw, axis=0),
+            idx[h].reshape(lq * p), axis=0, mode="clip"))
+    return jnp.concatenate(outs, axis=0)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _flat_level(v_l, hl, wl, x, y, aw_l):
     """Per-level deformable contribution in FLAT row layout with a manual
@@ -475,10 +496,15 @@ def _flat_level_fwd_impl(v_l, hl, wl, x, y, aw_l):
     wa = wslot * aw_l.astype(jnp.float32)[..., None]      # (B, nh, Lq, P, 4)
     base = jax.lax.broadcasted_iota(jnp.int32, (nh, lq, p), 0) * hw
     v4 = _wide_map(v_l, wl)                               # (B, nh, HW, 4d)
+    perhead = _use_perhead()
     outs = []
     for i in range(b):
         idx_i = (base + idx[i]).reshape(r)
-        g4 = _flat_gather_rows(v4[i].reshape(nh * hw, 4 * d), idx_i)
+        if perhead:
+            g4 = _flat_gather_rows_perhead(
+                v4[i].reshape(nh * hw, 4 * d), idx[i], nh, hw)
+        else:
+            g4 = _flat_gather_rows(v4[i].reshape(nh * hw, 4 * d), idx_i)
         waexp = jnp.dot(wa[i].reshape(r, 4), m_expand,
                         preferred_element_type=jnp.float32)  # (R, 4d)
         prod = g4.astype(jnp.float32) * waexp
@@ -522,10 +548,15 @@ def _flat_level_bwd(hl, wl, res, gout):
     use_glue_kernel = (
         jax.default_backend() == "tpu" and (nh * lq) % 8 == 0
     )
+    perhead = _use_perhead()
     dwa_imgs, dv4_imgs = [], []
     for i in range(b):
         idx_i = (base + idx[i]).reshape(r)
-        g4 = _flat_gather_rows(v4[i].reshape(nh * hw, 4 * d), idx_i)
+        if perhead:
+            g4 = _flat_gather_rows_perhead(
+                v4[i].reshape(nh * hw, 4 * d), idx[i], nh, hw)
+        else:
+            g4 = _flat_gather_rows(v4[i].reshape(nh * hw, 4 * d), idx_i)
         if use_glue_kernel:
             # One fused pass builds the scatter rows + per-slot dots with
             # the tiled cotangent living only in VMEM (the XLA formulation
@@ -569,6 +600,17 @@ def _flat_level_bwd(hl, wl, res, gout):
                 jnp.zeros((nh * hw, 4 * d), f32).at[idx_i[order]].add(
                     contrib[order].astype(f32), indices_are_sorted=True)
             )
+        elif _os.environ.get("IUVL_PERHEAD_SCATTER", "0") == "1":
+            # Per-head scatter A/B knob: each destination map is hw*4d f32
+            # (res3: 16.8 MB — scoped-VMEM-prefetchable where the 134 MB
+            # whole-map operand is not). Row order head-major as above.
+            c3 = contrib.astype(f32).reshape(nh, lq * p, 4 * d)
+            parts = [
+                jnp.zeros((hw, 4 * d), f32).at[
+                    idx[i][h].reshape(lq * p)].add(c3[h])
+                for h in range(nh)
+            ]
+            dv4_imgs.append(jnp.concatenate(parts, axis=0))
         else:
             dv4_imgs.append(
                 jnp.zeros((nh * hw, 4 * d), f32).at[idx_i].add(
