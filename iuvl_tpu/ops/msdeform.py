@@ -549,6 +549,7 @@ def _flat_level_bwd(hl, wl, res, gout):
         jax.default_backend() == "tpu" and (nh * lq) % 8 == 0
     )
     perhead = _use_perhead()
+    import os as _os
     dwa_imgs, dv4_imgs = [], []
     for i in range(b):
         idx_i = (base + idx[i]).reshape(r)
@@ -563,9 +564,13 @@ def _flat_level_bwd(hl, wl, res, gout):
             # below materializes it at f32 — ~700 MB per level-image);
             # contrib comes back in the value dtype and the f32 convert
             # fuses into the scatter.
-            from .pallas.deform_bwd_glue import deform_bwd_glue
+            from .pallas.deform_bwd_glue import (
+                deform_bwd_glue, deform_bwd_glue_q,
+            )
 
-            contrib, dots = deform_bwd_glue(
+            glue = (deform_bwd_glue_q if _os.environ.get(
+                "IUVL_GLUE_Q", "0") == "1" else deform_bwd_glue)
+            contrib, dots = glue(
                 g4, gout[i].reshape(nh * lq, d), wa[i].reshape(r, 4),
                 x.shape[3],
             )
@@ -592,7 +597,7 @@ def _flat_level_bwd(hl, wl, res, gout):
         # 1124.1 sorted) — the extra materialized permute pass displaces
         # the scheduler's scoped-VMEM gather-operand prefetch, which is
         # worth more than the scatter win.
-        import os as _os
+
         if nh * hw >= 32768 and _os.environ.get(
                 "IUVL_SORTED_DV_SCATTER", "0") == "1":
             order = jnp.argsort(idx_i)
@@ -600,10 +605,14 @@ def _flat_level_bwd(hl, wl, res, gout):
                 jnp.zeros((nh * hw, 4 * d), f32).at[idx_i[order]].add(
                     contrib[order].astype(f32), indices_are_sorted=True)
             )
-        elif _os.environ.get("IUVL_PERHEAD_SCATTER", "0") == "1":
-            # Per-head scatter A/B knob: each destination map is hw*4d f32
-            # (res3: 16.8 MB — scoped-VMEM-prefetchable where the 134 MB
-            # whole-map operand is not). Row order head-major as above.
+        elif _os.environ.get("IUVL_PERHEAD_SCATTER", "1") == "1":
+            # Per-head d_value scatter (round-5 DEFAULT): each destination
+            # map is hw*4d f32 (res3: 16.8 MB — scoped-VMEM-stageable where
+            # the 134 MB whole-map operand is not). Composed B=2 pix_grad
+            # 898.8 -> 885.8 ms (scripts/ab_pixgrad_r5.py rg3:49152).
+            # Per-head GATHERS measured the other way (974.3 ms — the
+            # whole-map gather already wins scoped-VMEM placement and the
+            # 8x dispatch split breaks it), so only the scatter splits.
             c3 = contrib.astype(f32).reshape(nh, lq * p, 4 * d)
             parts = [
                 jnp.zeros((hw, 4 * d), f32).at[
