@@ -568,8 +568,13 @@ def _flat_level_bwd(hl, wl, res, gout):
                 deform_bwd_glue, deform_bwd_glue_q,
             )
 
-            glue = (deform_bwd_glue_q if _os.environ.get(
-                "IUVL_GLUE_Q", "0") == "1" else deform_bwd_glue)
+            # Query-row glue kernel (round-5 default): rows viewed as
+            # (q, p*4d) — a pure bitcast — so the cotangent tiling is a
+            # lane concatenate instead of a sublane row-broadcast; composed
+            # B=2 pix_grad 885.8 -> 860.2 ms. Bit-exact vs the row-layout
+            # kernel (tests/test_ops_parity.py glue cases).
+            glue = (deform_bwd_glue if _os.environ.get(
+                "IUVL_GLUE_Q", "1") == "0" else deform_bwd_glue_q)
             contrib, dots = glue(
                 g4, gout[i].reshape(nh * lq, d), wa[i].reshape(r, 4),
                 x.shape[3],

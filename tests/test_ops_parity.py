@@ -410,7 +410,12 @@ def test_deform_bwd_glue_kernel_matches_xla():
     dg.pl.pallas_call = interp
     try:
         contrib, dots = dg.deform_bwd_glue(g4, gout, wa, p)
+        # query-row layout variant (the round-5 production default) must be
+        # bit-identical on the same inputs
+        contrib_q, dots_q = dg.deform_bwd_glue_q(g4, gout, wa, p)
     finally:
         dg.pl.pallas_call = orig
     np.testing.assert_allclose(np.asarray(dots), dots_ref, atol=1e-5)
     np.testing.assert_allclose(np.asarray(contrib), contrib_ref, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dots_q), np.asarray(dots))
+    np.testing.assert_array_equal(np.asarray(contrib_q), np.asarray(contrib))
