@@ -535,24 +535,42 @@ def _flat_level_bwd(hl, wl, res, gout):
     sel = _flat_selectors(d, p)
     m_expand, m_tile, m_slot = (jnp.asarray(m) for m in sel[:3])
 
+    import os as _os
     # wslot rebuilt cheaply; its (x, y) VJP via autodiff of the pure
     # elementwise builder (exact, no manual derivative math). idx is
     # integer (non-differentiable) — keep it out of the vjp closure.
+    # IUVL_FLAT_WSLOT=1 runs the whole wslot/aw chain per-image in flat
+    # (R,)/(R, 4) layout instead of the 5-D (B, nh, Lq, P, 4) one (the 5-D
+    # elementwise chains show as T(4,128)/T(8,128) relayout "data
+    # formatting" in the trace).
+    flat_wslot = _os.environ.get("IUVL_FLAT_WSLOT", "0") == "1"
     idx = _wide_idx_wslot(v_l.dtype, hl, wl, x, y)[0]
-    wslot, wslot_vjp = jax.vjp(
-        lambda xx, yy: _wide_idx_wslot(v_l.dtype, hl, wl, xx, yy)[1], x, y)
     aw32 = aw_l.astype(f32)
-    wa = wslot * aw32[..., None]
+    if not flat_wslot:
+        wslot, wslot_vjp = jax.vjp(
+            lambda xx, yy: _wide_idx_wslot(v_l.dtype, hl, wl, xx, yy)[1],
+            x, y)
+        wa = wslot * aw32[..., None]
     base = jax.lax.broadcasted_iota(jnp.int32, (nh, lq, p), 0) * hw
     v4 = _wide_map(v_l, wl)
     use_glue_kernel = (
         jax.default_backend() == "tpu" and (nh * lq) % 8 == 0
     )
     perhead = _use_perhead()
-    import os as _os
     dwa_imgs, dv4_imgs = [], []
+    dx_imgs, dy_imgs, daw_imgs = [], [], []
     for i in range(b):
         idx_i = (base + idx[i]).reshape(r)
+        if flat_wslot:
+            xi = x[i].reshape(r)
+            yi = y[i].reshape(r)
+            wslot_i, vjp_i = jax.vjp(
+                lambda xx, yy: _wide_idx_wslot(
+                    v_l.dtype, hl, wl, xx, yy)[1], xi, yi)
+            aw_i = aw32[i].reshape(r)
+            wa_i = wslot_i * aw_i[:, None]
+        else:
+            wa_i = wa[i].reshape(r, 4)
         if perhead:
             g4 = _flat_gather_rows_perhead(
                 v4[i].reshape(nh * hw, 4 * d), idx[i], nh, hw)
@@ -576,8 +594,7 @@ def _flat_level_bwd(hl, wl, res, gout):
             glue = (deform_bwd_glue if _os.environ.get(
                 "IUVL_GLUE_Q", "1") == "0" else deform_bwd_glue_q)
             contrib, dots = glue(
-                g4, gout[i].reshape(nh * lq, d), wa[i].reshape(r, 4),
-                x.shape[3],
+                g4, gout[i].reshape(nh * lq, d), wa_i, x.shape[3],
             )
         else:
             # cotangent rows: gout (nh*Lq, d) -> tiled lanes -> P-repeats
@@ -587,10 +604,17 @@ def _flat_level_bwd(hl, wl, res, gout):
             # d_wa (per slot): rowwise dots via lane-group-sum matmul
             dots = jnp.dot(g4.astype(f32) * gt_rows, m_slot,
                            preferred_element_type=f32)      # (R, 4)
-            waexp = jnp.dot(wa[i].reshape(r, 4), m_expand,
+            waexp = jnp.dot(wa_i, m_expand,
                             preferred_element_type=f32)
             contrib = waexp * gt_rows                       # (R, 4d) f32
-        dwa_imgs.append(dots)
+        if flat_wslot:
+            daw_imgs.append(
+                (dots * wslot_i).sum(-1).reshape(nh, lq, p))
+            dxi, dyi = vjp_i(dots * aw_i[:, None])
+            dx_imgs.append(dxi.reshape(nh, lq, p))
+            dy_imgs.append(dyi.reshape(nh, lq, p))
+        else:
+            dwa_imgs.append(dots)
         # d_v4 rows, scattered in f32 (bf16 scatter-add measures 3x slower).
         # MEASURED NEGATIVE composed (round 5, kept opt-in via
         # IUVL_SORTED_DV_SCATTER=1): explicitly argsort-ing the rows and
@@ -631,10 +655,15 @@ def _flat_level_bwd(hl, wl, res, gout):
                     contrib.astype(f32))
             )
 
-    dwa = jnp.stack(dwa_imgs).reshape(b, nh, lq, p, 4)
-    d_aw = (dwa * wslot).sum(-1).astype(aw_l.dtype)
-    d_wslot = dwa * aw32[..., None]
-    d_x, d_y = wslot_vjp(d_wslot)
+    if flat_wslot:
+        d_aw = jnp.stack(daw_imgs).astype(aw_l.dtype)
+        d_x = jnp.stack(dx_imgs)
+        d_y = jnp.stack(dy_imgs)
+    else:
+        dwa = jnp.stack(dwa_imgs).reshape(b, nh, lq, p, 4)
+        d_aw = (dwa * wslot).sum(-1).astype(aw_l.dtype)
+        d_wslot = dwa * aw32[..., None]
+        d_x, d_y = wslot_vjp(d_wslot)
     # v4 = [v, v>>1x, v>>1y, v>>1xy] -> fold slot planes back with inverse
     # rolls (linear, exact transpose of _wide_map).
     dv4 = jnp.stack(dv4_imgs).reshape(b, nh, hw, 4 * d)
